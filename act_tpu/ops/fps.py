@@ -1,0 +1,100 @@
+"""Farthest-point sampling as a Pallas TPU kernel.
+
+TPU-native equivalent of the reference's ``pointnet2_ops.furthest_point_sample`` CUDA
+kernel (used at utils/misc.py:39-46, models/dvae.py Group, tools/runner_finetune.py
+:141-157). The greedy max-min loop is inherently sequential over the S output samples,
+so the kernel keeps the whole cloud and the running min-distance vector resident in
+VMEM and runs the S-step loop on-chip — one HBM read of the points per batch row,
+no per-step kernel launches.
+
+Layout: points are passed transposed as (B, 3, N) so the large N axis lands on the
+128-wide lane dimension (the natural (B, N, 3) layout would pad 3 -> 128 lanes and
+waste 40x VMEM/bandwidth). Selected indices are accumulated in a lane-aligned int32
+vector via masked selects (scalar stores to VMEM at dynamic offsets don't vectorize).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from act_tpu.ops.reference import furthest_point_sample_ref
+from act_tpu.ops._backend import use_pallas, interpret_flag, round_up
+
+
+def _fps_kernel(n_points: int, n_samples: int, pts_ref, out_ref, dist_ref):
+    """One batch row per grid step.
+
+    pts_ref: (1, 3, Npad) VMEM f32, out_ref: (1, 1, Spad) VMEM int32,
+    dist_ref: (1, Npad) f32 VMEM scratch (running min squared distance).
+    """
+    npad = pts_ref.shape[2]
+    spad = out_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+    slane = jax.lax.broadcasted_iota(jnp.int32, (1, spad), 1)
+    valid = lane < n_points
+
+    x = pts_ref[0, 0:1, :]
+    y = pts_ref[0, 1:2, :]
+    z = pts_ref[0, 2:3, :]
+
+    dist_ref[:] = jnp.where(valid, jnp.float32(3.4e38), jnp.float32(-1.0))
+
+    def select_coords(idx):
+        onehot = (lane == idx).astype(jnp.float32)
+        return (jnp.sum(x * onehot), jnp.sum(y * onehot), jnp.sum(z * onehot))
+
+    def body(i, carry):
+        cx, cy, cz, idx_vec = carry
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        dmin = jnp.minimum(dist_ref[:], jnp.where(valid, d, jnp.float32(-1.0)))
+        dist_ref[:] = dmin
+        nxt = jnp.argmax(dmin.reshape(npad)).astype(jnp.int32)
+        idx_vec = jnp.where(slane == i, nxt, idx_vec)
+        cx, cy, cz = select_coords(nxt)
+        return cx, cy, cz, idx_vec
+
+    cx, cy, cz = select_coords(jnp.int32(0))
+    init = (cx, cy, cz, jnp.zeros((1, spad), jnp.int32))
+    _, _, _, idx_vec = jax.lax.fori_loop(1, n_samples, body, init, unroll=False)
+    out_ref[0] = idx_vec
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def _fps_pallas(points: jax.Array, n_samples: int) -> jax.Array:
+    B, N, _ = points.shape
+    npad = round_up(N, 128)
+    spad = round_up(n_samples, 128)
+    # indices are not differentiable; without the stop_gradient, jax tries (and
+    # fails) to derive a JVP rule for the pallas_call when the cloud is a tracer
+    points = jax.lax.stop_gradient(points)
+    pts_t = jnp.transpose(points.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
+    if npad != N:
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, npad - N)))
+
+    out = pl.pallas_call(
+        partial(_fps_kernel, N, n_samples),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, 3, npad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, spad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1, spad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, npad), jnp.float32)],
+        interpret=interpret_flag(),
+    )(pts_t)
+    return out[:, 0, :n_samples]
+
+
+def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
+    """points: (B, N, 3) -> (B, n_samples) int32 indices.
+
+    Pallas kernel on TPU; pure-XLA ``fori_loop`` reference elsewhere. The start
+    point is index 0, matching the reference CUDA kernel's deterministic start.
+    """
+    if use_pallas():
+        return _fps_pallas(points, n_samples)
+    return furthest_point_sample_ref(points, n_samples)

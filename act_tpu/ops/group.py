@@ -1,0 +1,71 @@
+"""The grouping front-end: FPS centers -> kNN neighborhoods -> center-normalized groups.
+
+TPU-native equivalent of the reference ``Group`` module (models/dvae.py:154-183,
+duplicated in both segmentation subprojects) built from ``pointnet2_ops`` FPS +
+``KNN_CUDA``. This is the hot irregular op that runs in every forward of every model.
+
+Design: FPS runs as the sequential Pallas kernel (:mod:`act_tpu.ops.fps`); the kNN is
+a (S, N) squared-distance matrix via an MXU matmul + ``jax.lax.top_k`` — on TPU the
+distance matrix for the ACT regime (64 x 1024 or 128 x 2048) is small and XLA fuses
+the distance computation, top-k, gather and center-subtract into a few kernels.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from act_tpu.ops.fps import furthest_point_sample
+from act_tpu.ops.reference import gather_points, knn_ref, square_distance
+
+
+def knn(ref_points: jax.Array, query: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """k nearest neighbors: (B,N,C) ref, (B,S,C) query -> (sq dists, idx) (B,S,k)."""
+    return knn_ref(ref_points, query, k)
+
+
+@partial(jax.jit, static_argnames=("num_group", "group_size"))
+def group_points(xyz: jax.Array, num_group: int, group_size: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """xyz: (B, N, 3) -> (neighborhood (B, G, M, 3) center-normalized, center (B, G, 3)).
+
+    Matches reference Group.forward (models/dvae.py:161-183): FPS to G centers, kNN of
+    size M around each center, gather, subtract center.
+    """
+    center_idx = furthest_point_sample(xyz, num_group)  # (B, G)
+    center = gather_points(xyz, center_idx)  # (B, G, 3)
+    _, idx = knn(xyz, center, group_size)  # (B, G, M)
+    neighborhood = gather_points(xyz, idx)  # (B, G, M, 3)
+    neighborhood = neighborhood - center[:, :, None, :]
+    return neighborhood, center
+
+
+@partial(jax.jit, static_argnames=("k",))
+def graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int = 4) -> jax.Array:
+    """DGCNN neighbor indices: for each query position, the k nearest key positions.
+
+    coor_k/coor_q: (B, N, 3) coordinates. Returns (B, Nq, k) int32. Reference:
+    DGCNN.get_graph_feature's KNN(k=4) call (models/dvae.py:59-79); neighbor features
+    are then gathered and concatenated as (nbr - self, self) by the model code.
+    """
+    d = square_distance(coor_q, coor_k)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32)
+
+
+def fps_subsample(xyz: jax.Array, n_fps: int, n_out: int, key: jax.Array) -> jax.Array:
+    """FPS to ``n_fps`` points then a random ``n_out``-subset — the reference's
+    finetune-time resampling trick (tools/runner_finetune.py:141-157).
+
+    xyz: (B, N, 3) -> (B, n_out, 3).
+    """
+    idx = furthest_point_sample(xyz, n_fps)  # (B, n_fps)
+    pts = gather_points(xyz, idx)
+    if n_out == n_fps:
+        return pts
+    B = xyz.shape[0]
+    keys = jax.random.split(key, B)
+    sub = jax.vmap(lambda kk: jax.random.permutation(kk, n_fps)[:n_out])(keys)
+    return jnp.take_along_axis(pts, sub[:, :, None], axis=1)

@@ -1,0 +1,168 @@
+"""Kernel substrate tests: Pallas kernels (interpret mode) vs pure-XLA references,
+and the references vs straightforward numpy implementations."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from act_tpu import ops
+from act_tpu.ops import chamfer as chamfer_mod
+from act_tpu.ops import fps as fps_mod
+
+
+def np_fps(points, n_samples):
+    """O(N*S) numpy greedy FPS, start at index 0."""
+    N = points.shape[0]
+    idxs = np.zeros(n_samples, dtype=np.int64)
+    dists = np.full(N, np.inf)
+    last = points[0]
+    for i in range(1, n_samples):
+        d = ((points - last) ** 2).sum(-1)
+        dists = np.minimum(dists, d)
+        idxs[i] = int(np.argmax(dists))
+        last = points[idxs[i]]
+    return idxs
+
+
+class TestReferenceOps:
+    def test_square_distance(self, rng):
+        a = rng.normal(size=(2, 5, 3)).astype(np.float32)
+        b = rng.normal(size=(2, 7, 3)).astype(np.float32)
+        d = np.asarray(ops.square_distance(jnp.asarray(a), jnp.asarray(b)))
+        expect = ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(d, expect, atol=1e-4)
+
+    def test_fps_ref_matches_numpy(self, rng):
+        pts = rng.normal(size=(3, 256, 3)).astype(np.float32)
+        got = np.asarray(ops.furthest_point_sample_ref(jnp.asarray(pts), 32))
+        for b in range(3):
+            np.testing.assert_array_equal(got[b], np_fps(pts[b], 32))
+
+    def test_fps_covers_spread(self, rng):
+        # FPS of 4 from two well-separated clusters must pick both clusters
+        cluster1 = rng.normal(size=(64, 3)).astype(np.float32) * 0.01
+        cluster2 = cluster1 + 10.0
+        pts = np.concatenate([cluster1, cluster2])[None]
+        idx = np.asarray(ops.furthest_point_sample_ref(jnp.asarray(pts), 4))[0]
+        assert (idx < 64).any() and (idx >= 64).any()
+
+    def test_knn_matches_numpy(self, rng):
+        ref = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        q = rng.normal(size=(2, 16, 3)).astype(np.float32)
+        d, idx = ops.knn(jnp.asarray(ref), jnp.asarray(q), 5)
+        d, idx = np.asarray(d), np.asarray(idx)
+        for b in range(2):
+            full = ((q[b][:, None] - ref[b][None]) ** 2).sum(-1)
+            expect_sorted = np.sort(full, axis=-1)[:, :5]
+            np.testing.assert_allclose(np.sort(d[b], axis=-1), expect_sorted,
+                                       atol=1e-4)
+            # indices actually index the right distances
+            np.testing.assert_allclose(
+                np.take_along_axis(full, idx[b], axis=-1), d[b], atol=1e-4)
+
+    def test_gather_points(self, rng):
+        pts = rng.normal(size=(2, 10, 3)).astype(np.float32)
+        idx = rng.integers(0, 10, size=(2, 4, 6))
+        out = np.asarray(ops.gather_points(jnp.asarray(pts), jnp.asarray(idx)))
+        for b in range(2):
+            np.testing.assert_allclose(out[b], pts[b][idx[b]], atol=1e-6)
+
+    def test_chamfer_ref_matches_numpy(self, rng):
+        x = rng.normal(size=(2, 12, 3)).astype(np.float32)
+        y = rng.normal(size=(2, 17, 3)).astype(np.float32)
+        d1, d2, i1, i2 = ops.chamfer_ref(jnp.asarray(x), jnp.asarray(y))
+        full = ((x[:, :, None] - y[:, None]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(d1), full.min(-1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d2), full.min(-2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), full.argmin(-1))
+        np.testing.assert_array_equal(np.asarray(i2), full.argmin(-2))
+
+    def test_three_nn_interpolate(self, rng):
+        known = rng.normal(size=(1, 8, 3)).astype(np.float32)
+        feats = rng.normal(size=(1, 8, 4)).astype(np.float32)
+        # query exactly at a known point -> (nearly) that point's features
+        out = ops.three_nn_interpolate(jnp.asarray(known), jnp.asarray(known),
+                                       jnp.asarray(feats))
+        np.testing.assert_allclose(np.asarray(out), feats, atol=1e-3)
+
+    def test_ball_query_in_radius(self, rng):
+        xyz = rng.uniform(-1, 1, size=(1, 128, 3)).astype(np.float32)
+        centers = xyz[:, :4]
+        idx = np.asarray(ops.ball_query(0.5, 16, jnp.asarray(xyz),
+                                        jnp.asarray(centers)))
+        for s in range(4):
+            d = ((xyz[0][idx[0, s]] - centers[0, s]) ** 2).sum(-1)
+            assert (d <= 0.25 + 1e-5).all()
+
+    def test_group_points_shapes_and_normalization(self, rng):
+        pts = rng.normal(size=(2, 128, 3)).astype(np.float32)
+        nbr, center = ops.group_points(jnp.asarray(pts), 16, 8)
+        assert nbr.shape == (2, 16, 8, 3)
+        assert center.shape == (2, 16, 3)
+        # each group's nearest neighbor of its center is the center itself ->
+        # one row of each neighborhood is ~0
+        m = np.abs(np.asarray(nbr)).sum(-1).min(-1)
+        np.testing.assert_allclose(m, 0.0, atol=1e-5)
+
+
+class TestChamferVJP:
+    def test_gradcheck_vs_dense_autodiff(self, rng):
+        """Our custom VJP must equal autodiff through the dense formulation
+        (the TPU analog of the reference's gradcheck, extensions/chamfer_dist/test.py)."""
+        x = jnp.asarray(rng.normal(size=(2, 9, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, 13, 3)).astype(np.float32))
+
+        def loss_custom(x, y):
+            d1, d2 = ops.chamfer_distances(x, y)
+            return jnp.sum(d1 * 1.3) + jnp.sum(d2 * 0.7)
+
+        def loss_dense(x, y):
+            d = ops.square_distance(x, y)
+            return jnp.sum(jnp.min(d, -1) * 1.3) + jnp.sum(jnp.min(d, -2) * 0.7)
+
+        gx1, gy1 = jax.grad(loss_custom, argnums=(0, 1))(x, y)
+        gx2, gy2 = jax.grad(loss_dense, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), atol=1e-4)
+
+    def test_l1_l2_reductions(self, rng):
+        x = jnp.asarray(rng.normal(size=(3, 8, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(3, 8, 3)).astype(np.float32))
+        d1, d2, _, _ = ops.chamfer_ref(x, y)
+        l2 = ops.chamfer_distance_l2(x, y)
+        np.testing.assert_allclose(float(l2),
+                                   float(jnp.mean(d1) + jnp.mean(d2)), rtol=1e-5)
+        l1 = ops.chamfer_distance_l1(x, y)
+        expect = 0.5 * (jnp.mean(jnp.sqrt(d1 + 1e-12)) + jnp.mean(jnp.sqrt(d2 + 1e-12)))
+        np.testing.assert_allclose(float(l1), float(expect), rtol=1e-5)
+
+    def test_identical_clouds_zero(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 32, 3)).astype(np.float32))
+        assert float(ops.chamfer_distance_l2(x, x)) < 1e-8
+
+
+@pytest.mark.pallas
+class TestPallasInterpret:
+    """Pallas kernel logic vs references, via the interpreter on CPU."""
+
+    def setup_method(self, method):
+        os.environ["ACT_TPU_PALLAS"] = "interpret"
+
+    def teardown_method(self, method):
+        os.environ.pop("ACT_TPU_PALLAS", None)
+
+    def test_fps_pallas_matches_ref(self, rng):
+        pts = jnp.asarray(rng.normal(size=(2, 200, 3)).astype(np.float32))
+        got = np.asarray(fps_mod._fps_pallas(pts, 16))
+        want = np.asarray(ops.furthest_point_sample_ref(pts, 16))
+        np.testing.assert_array_equal(got, want)
+
+    def test_nn_pallas_matches_dense(self, rng):
+        x = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+        d_p, i_p = chamfer_mod._nn_pallas(x, y)
+        d_d, i_d = chamfer_mod._nn_dense(x, y)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_d), atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_d))
