@@ -1,0 +1,106 @@
+"""Host-side batch loader with background prefetch.
+
+The TPU-native replacement for torch DataLoader + DistributedSampler
+(tools/builder.py:14-31): numpy collation on the host, per-process sharding of the
+sample index space (process i takes every jax.process_count()-th index, the analog
+of DistributedSampler), drop_last for train, and a double-buffered background
+thread so host IO overlaps device compute. Batches come out as stacked numpy
+arrays ready for device_put/sharding by the train loop.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, List, Optional
+
+import numpy as np
+
+
+def default_collate(samples: List[Any]):
+    """Stack leaves of (taxonomy, model_id, data) samples."""
+    first = samples[0]
+    if isinstance(first, np.ndarray):
+        return np.stack(samples)
+    if isinstance(first, (int, np.integer)):
+        return np.asarray(samples, dtype=np.int32)
+    if isinstance(first, float):
+        return np.asarray(samples, dtype=np.float32)
+    if isinstance(first, (tuple, list)):
+        return type(first)(default_collate([s[i] for s in samples])
+                           for i in range(len(first)))
+    return list(samples)
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 num_replicas: int = 1, rank: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        if self.num_replicas > 1:
+            # pad so every replica sees the same number of samples
+            pad = (-len(idx)) % self.num_replicas
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.rank::self.num_replicas]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator:
+        idx = self._indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = [self.dataset[int(i)] for i in chunk]
+            yield default_collate(samples)
+
+    def __iter__(self) -> Iterator:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except Exception as e:  # pragma: no cover
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if err:
+            raise err[0]

@@ -1,0 +1,311 @@
+"""Shared neural building blocks (flax.linen).
+
+Covers the reference's transformer stack (models/act.py:25-145), the mini-PointNet
+group encoder (models/dvae.py:185-215), the DGCNN graph feature network
+(models/dvae.py:26-117) and the FoldingNet decoder (models/dvae.py:217-275) —
+re-designed channels-last so 1x1 convs become Dense layers that XLA maps straight
+onto the MXU, with all irregular gathers expressed as take_along_axis.
+
+RNG streams: 'dropout' (dropout + prompt dropout), 'droppath' (stochastic depth),
+'gumbel' (dVAE sampling), 'mask' (MAE masking) — all explicit, no global RNG.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from act_tpu.ops import graph_feature_idx, gather_points
+
+Dtype = Any
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2 * std, upper=2 * std)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the whole residual branch per sample."""
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference models/act.py:25-41)."""
+    hidden_features: int
+    out_features: Optional[int] = None
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        out_dim = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference models/act.py:44-69).
+
+    One fused qkv projection; softmax in f32 for TPU numerical stability.
+    """
+    num_heads: int
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block with stochastic depth (reference models/act.py:72-90)."""
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dim = x.shape[-1]
+        h = nn.LayerNorm(name="norm1")(x)
+        h = Attention(self.num_heads, self.qkv_bias, self.qk_scale,
+                      self.attn_drop, self.drop, name="attn")(h, deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic)
+        h = nn.LayerNorm(name="norm2")(x)
+        h = Mlp(int(dim * self.mlp_ratio), drop=self.drop,
+                name="mlp")(h, deterministic)
+        x = x + DropPath(self.drop_path)(h, deterministic)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of Blocks; pos embedding is added at EVERY block input
+    (x = block(x + pos)), the reference's Point-BERT convention
+    (models/act.py:109-112)."""
+    embed_dim: int
+    depth: int
+    num_heads: int
+    drop_path_rate: float = 0.0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pos: jax.Array, deterministic: bool = True,
+                 return_hidden: Sequence[int] = ()) -> Tuple[jax.Array, list]:
+        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        hidden = []
+        for i in range(self.depth):
+            x = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
+                      drop=self.drop, attn_drop=self.attn_drop, drop_path=dpr[i],
+                      name=f"blocks_{i}")(x + pos, deterministic)
+            if i in return_hidden:
+                hidden.append(x)
+        return x, hidden
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder stack + final norm, returning only the trailing ``return_token_num``
+    tokens (the mask-token predictions) — reference models/act.py:115-145."""
+    embed_dim: int
+    depth: int
+    num_heads: int
+    drop_path_rate: float = 0.1
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pos: jax.Array, return_token_num: int,
+                 deterministic: bool = True) -> jax.Array:
+        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
+        for i in range(self.depth):
+            x = Block(self.num_heads, self.mlp_ratio, drop_path=dpr[i],
+                      name=f"blocks_{i}")(x + pos, deterministic)
+        x = nn.LayerNorm(name="norm")(x[:, -return_token_num:])
+        return x
+
+
+class PosEmbedMLP(nn.Module):
+    """3 -> 128 -> GELU -> dim positional embedding of group centers
+    (the reference's pos_embed Sequential, models/act.py:173-177)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, centers: jax.Array) -> jax.Array:
+        h = nn.Dense(128, name="fc1")(centers)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, name="fc2")(h)
+
+
+class GroupEncoder(nn.Module):
+    """Mini-PointNet over each local group (reference Encoder, models/dvae.py:185-215).
+
+    (B, G, M, 3) -> (B, G, C): pointwise MLP -> max -> concat global -> MLP -> max.
+    BatchNorm statistics are taken over the B*G*M 'batch' exactly like the
+    reference's BatchNorm1d over the flattened (B*G, C, M) layout; pass
+    ``bn_axis_name`` to cross-replica-sync the stats (SyncBN equivalent).
+    """
+    encoder_channel: int
+    bn_momentum: float = 0.9
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, point_groups: jax.Array, train: bool = False) -> jax.Array:
+        B, G, M, _ = point_groups.shape
+        x = point_groups.reshape(B * G, M, 3)
+        bn = dict(use_running_average=not train, momentum=self.bn_momentum,
+                  axis_name=self.bn_axis_name if train else None)
+        x = nn.Dense(128, name="conv1")(x)
+        x = nn.BatchNorm(name="bn1", **bn)(x)
+        x = nn.relu(x)
+        x = nn.Dense(256, name="conv2")(x)
+        g = jnp.max(x, axis=1, keepdims=True)  # (BG, 1, 256)
+        x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (BG, M, 512)
+        x = nn.Dense(512, name="conv3")(x)
+        x = nn.BatchNorm(name="bn2", **bn)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.encoder_channel, name="conv4")(x)
+        x = jnp.max(x, axis=1)  # (BG, C)
+        return x.reshape(B, G, self.encoder_channel)
+
+
+class _GNConvLReLU(nn.Module):
+    """1x1 conv + GroupNorm(4) + LeakyReLU(0.2), channels-last."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.features, use_bias=False, name="conv")(x)
+        x = nn.GroupNorm(num_groups=4, name="gn")(x)
+        return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class DGCNN(nn.Module):
+    """Dynamic graph CNN over group centers (reference models/dvae.py:26-117).
+
+    Four rounds of k=4 graph features in *coordinate* space (the kNN graph is the
+    same every round since it is built from the fixed center coordinates — computed
+    once and reused, unlike the reference which recomputes the identical kNN 4x),
+    each followed by conv/GroupNorm/LeakyReLU and max over neighbors; the four
+    scales concatenate (2304 ch) into the output projection.
+    """
+    output_channel: int
+
+    @nn.compact
+    def __call__(self, f: jax.Array, coor: jax.Array) -> jax.Array:
+        # f: (B, G, C) features; coor: (B, G, 3) centers
+        idx = graph_feature_idx(coor, coor, k=4)  # (B, G, 4) — static graph
+
+        def graph_feature(feat):
+            nbr = gather_points(feat, idx)  # (B, G, 4, C)
+            self_f = jnp.broadcast_to(feat[:, :, None, :], nbr.shape)
+            return jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (B, G, 4, 2C)
+
+        f = nn.Dense(128, name="input_trans")(f)
+        feats = []
+        for i, ch in enumerate([256, 512, 512, 1024]):
+            g = graph_feature(f)
+            g = _GNConvLReLU(ch, name=f"layer{i + 1}")(g)
+            f = jnp.max(g, axis=2)  # (B, G, ch)
+            feats.append(f)
+        f = jnp.concatenate(feats, axis=-1)  # (B, G, 2304)
+        return _GNConvLReLU(self.output_channel, name="layer5")(f)
+
+
+class FoldingDecoder(nn.Module):
+    """FoldingNet group decoder (reference Decoder, models/dvae.py:217-275).
+
+    (B, G, C) -> coarse (B, G, M/4, 3) + fine (B, G, M, 3): an MLP emits the coarse
+    points; a 2x2 folding seed grid, the global feature and the coarse points feed a
+    pointwise conv stack whose output offsets the repeated coarse centers.
+    """
+    num_fine: int
+    grid_size: int = 2
+    bn_momentum: float = 0.9
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feature_global: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+        assert self.num_fine % (self.grid_size ** 2) == 0
+        num_coarse = self.num_fine // (self.grid_size ** 2)
+        B, G, C = feature_global.shape
+        fg = feature_global.reshape(B * G, C)
+
+        h = nn.Dense(1024, name="mlp1")(fg)
+        h = nn.relu(h)
+        h = nn.Dense(1024, name="mlp2")(h)
+        h = nn.relu(h)
+        coarse = nn.Dense(3 * num_coarse, name="mlp3")(h).reshape(B * G, num_coarse, 3)
+
+        s = self.grid_size ** 2
+        a = jnp.linspace(-0.05, 0.05, self.grid_size)
+        seed = jnp.stack(jnp.meshgrid(a, a, indexing="xy"), axis=-1).reshape(s, 2)
+        seed = jnp.broadcast_to(seed[None, None], (B * G, num_coarse, s, 2))
+        seed = seed.reshape(B * G, self.num_fine, 2)
+
+        point_feat = jnp.repeat(coarse, s, axis=1)  # (BG, num_fine, 3)
+        fg_exp = jnp.broadcast_to(fg[:, None, :], (B * G, self.num_fine, C))
+        feat = jnp.concatenate([fg_exp, seed, point_feat], axis=-1)
+
+        bn = dict(use_running_average=not train, momentum=self.bn_momentum,
+                  axis_name=self.bn_axis_name if train else None)
+        h = nn.Dense(512, name="final1")(feat)
+        h = nn.BatchNorm(name="fbn1", **bn)(h)
+        h = nn.relu(h)
+        h = nn.Dense(512, name="final2")(h)
+        h = nn.BatchNorm(name="fbn2", **bn)(h)
+        h = nn.relu(h)
+        offset = nn.Dense(3, name="final3")(h)
+        fine = offset + point_feat  # (BG, num_fine, 3)
+
+        return (coarse.reshape(B, G, num_coarse, 3),
+                fine.reshape(B, G, self.num_fine, 3))
+
+
+def gumbel_softmax(key: jax.Array, logits: jax.Array, tau: float = 1.0,
+                   hard: bool = False, axis: int = -1) -> jax.Array:
+    """Gumbel-softmax with optional straight-through hard sampling — the JAX
+    equivalent of torch F.gumbel_softmax (used models/dvae.py:346,600)."""
+    u = jax.random.uniform(key, logits.shape, minval=1e-10, maxval=1.0)
+    g = -jnp.log(-jnp.log(u))
+    y = jax.nn.softmax((logits + g) / tau, axis=axis)
+    if hard:
+        # straight-through: forward value is one-hot, gradient flows through soft y
+        y_hard = jax.nn.one_hot(jnp.argmax(y, axis=axis), logits.shape[axis],
+                                axis=axis, dtype=y.dtype)
+        y = y + jax.lax.stop_gradient(y_hard - y)
+    return y

@@ -47,11 +47,21 @@ class ConfigDict(dict):
 
 
 def _wrap(v: Any) -> Any:
-    if isinstance(v, dict) and not isinstance(v, ConfigDict):
-        return ConfigDict(v)
+    from collections.abc import Mapping
+    if isinstance(v, Mapping) and not isinstance(v, ConfigDict):
+        # covers plain dicts and flax FrozenDicts alike
+        return ConfigDict({k: x for k, x in v.items()})
     if isinstance(v, (list, tuple)):
         return type(v)(_wrap(x) for x in v)
     return v
+
+
+def as_cfg(d) -> "ConfigDict":
+    """Coerce any Mapping (e.g. a flax FrozenDict that linen made out of a module's
+    config attribute) back into an attribute-accessible ConfigDict."""
+    if isinstance(d, ConfigDict):
+        return d
+    return ConfigDict({k: v for k, v in d.items()})
 
 
 def merge_new_config(config: ConfigDict, new_config: dict) -> ConfigDict:

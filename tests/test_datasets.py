@@ -1,0 +1,126 @@
+"""Data layer tests: registries, synthetic fallback, loader, transforms."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from act_tpu.utils.config import ConfigDict
+from act_tpu.datasets import (DATASETS, build_dataset_from_cfg, DataLoader,
+                              transforms)
+
+
+def shapenet_cfg(**over):
+    cfg = ConfigDict(dict(NAME="ShapeNet", N_POINTS=8192,
+                          DATA_PATH="/nonexistent/ShapeNet-55",
+                          PC_PATH="/nonexistent/shapenet_pc",
+                          subset="train", npoints=128))
+    cfg.update(over)
+    return cfg
+
+
+class TestDatasets:
+    def test_shapenet_synthetic(self):
+        ds = DATASETS.build(shapenet_cfg())
+        tax, mid, pts = ds[0]
+        assert pts.shape == (128, 3)
+        assert pts.dtype == np.float32
+        # unit sphere normalized
+        assert np.linalg.norm(pts, axis=1).max() <= 1.0 + 1e-5
+
+    def test_build_from_base_cfg(self):
+        node = ConfigDict(dict(_base_=dict(NAME="ShapeNet", N_POINTS=8192,
+                                           DATA_PATH="/nope", PC_PATH="/nope"),
+                               others=dict(subset="train", npoints=64,
+                                           whole=True)))
+        ds = build_dataset_from_cfg(node)
+        assert ds[1][2].shape == (64, 3)
+
+    def test_modelnet_synthetic_labels(self):
+        cfg = ConfigDict(dict(NAME="ModelNet", DATA_PATH="/nope", N_POINTS=256,
+                              NUM_CATEGORY=40, USE_NORMALS=False,
+                              subset="test"))
+        ds = DATASETS.build(cfg)
+        _, _, (pts, label) = ds[7]
+        assert pts.shape == (256, 3)
+        assert label == 7 % 40
+
+    def test_scanobjectnn_hardest(self):
+        cfg = ConfigDict(dict(NAME="ScanObjectNN_hardest", ROOT="/nope",
+                              subset="train"))
+        ds = DATASETS.build(cfg)
+        _, _, (pts, label) = ds[3]
+        assert pts.shape == (2048, 3)
+        assert 0 <= label < 15
+
+    def test_fewshot(self):
+        cfg = ConfigDict(dict(NAME="ModelNetFewShot", DATA_PATH="/nope",
+                              N_POINTS=128, subset="train", way=5, shot=10,
+                              fold=0))
+        ds = DATASETS.build(cfg)
+        assert len(ds) == 50
+        _, _, (pts, label) = ds[0]
+        assert 0 <= label < 5
+
+
+class TestLoader:
+    def test_batching_and_epochs(self):
+        ds = DATASETS.build(shapenet_cfg(npoints=32))
+        dl = DataLoader(ds, batch_size=16, shuffle=True, drop_last=True, seed=1)
+        batches = list(dl)
+        assert len(batches) == len(ds) // 16
+        tax, mid, pts = batches[0]
+        assert pts.shape == (16, 32, 3)
+        # different epoch -> different order
+        dl.set_epoch(1)
+        b2 = next(iter(dl))
+        assert not np.allclose(b2[2], batches[0][2])
+
+    def test_replica_sharding(self):
+        ds = DATASETS.build(shapenet_cfg(npoints=32))
+        seen = []
+        for r in range(4):
+            dl = DataLoader(ds, batch_size=8, shuffle=False, num_replicas=4,
+                            rank=r, prefetch=0)
+            seen.append(sum(len(b[2]) for b in dl))
+        assert len(set(seen)) == 1  # equal shards
+
+
+class TestTransforms:
+    def setup_method(self, m):
+        self.pc = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 64, 3)).astype(np.float32))
+        self.key = jax.random.PRNGKey(0)
+
+    def test_scale_and_translate_bounds(self):
+        out = transforms.scale_and_translate(self.key, self.pc)
+        assert out.shape == self.pc.shape
+        assert not np.allclose(out, self.pc)
+
+    def test_rotate_preserves_norm_in_xz(self):
+        out = transforms.rotate_y(self.key, self.pc)
+        r_in = np.asarray(self.pc[..., 0] ** 2 + self.pc[..., 2] ** 2)
+        r_out = np.asarray(out[..., 0] ** 2 + out[..., 2] ** 2)
+        np.testing.assert_allclose(r_in, r_out, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out[..., 1]),
+                                   np.asarray(self.pc[..., 1]), atol=1e-6)
+
+    def test_jitter_clipped(self):
+        out = transforms.jitter(self.key, self.pc, std=0.01, clip=0.05)
+        assert float(jnp.abs(out - self.pc).max()) <= 0.05 + 1e-6
+
+    def test_dropout_replaces_with_first(self):
+        out = transforms.random_input_dropout(self.key, self.pc, 0.9)
+        first = self.pc[:, 0:1, :]
+        changed = ~np.isclose(np.asarray(out), np.asarray(self.pc)).all(-1)
+        out_np = np.asarray(out)
+        for b in range(4):
+            if changed[b].any():
+                sel = out_np[b][changed[b]]
+                np.testing.assert_allclose(
+                    sel, np.broadcast_to(np.asarray(first[b, 0]), sel.shape),
+                    atol=1e-6)
+
+    def test_all_transforms_jit_and_shapes(self):
+        for name, fn in transforms.TRANSFORMS.items():
+            out = fn(self.key, self.pc)
+            assert out.shape == self.pc.shape, name

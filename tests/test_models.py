@@ -1,0 +1,237 @@
+"""Model-family tests: init, forward shapes, losses, grads on tiny configs."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from act_tpu.utils.config import ConfigDict
+from act_tpu.models import (MODELS, DiscreteVAE, ACTPromptedDiscreteVAEwithVIT,
+                            ACT_PointDistillation, ACT_PointBERT,
+                            PointTransformer, get_loss_acc, trainable_mask)
+from act_tpu.models.act import random_mask, block_mask, split_by_mask
+from act_tpu.models.common import gumbel_softmax
+
+
+def tiny_dvae_cfg(**over):
+    cfg = ConfigDict(dict(
+        NAME="DiscreteVAE", group_size=8, num_group=16, encoder_dims=32,
+        num_tokens=64, tokens_dims=32, decoder_dims=32,
+        visual_embed_type="vit_tiny", visual_embed_dim=48, visual_embed_depth=2,
+        visual_embed_heads=4, visual_embed_pos="after_dgcnn1",
+        freeze_visual_embed=True, num_prompt_token=4, use_deep_prompt=True,
+    ))
+    cfg.update(over)
+    return cfg
+
+
+def tiny_pretrain_cfg(**over):
+    cfg = ConfigDict(dict(
+        NAME="ACT_PointDistillation", loss="cosine",
+        transformer_config=dict(
+            mask_ratio=0.5, mask_type="rand", proj="linear", embed_dim=32,
+            encoder_dims=32, depth=2, drop_path_rate=0.1, cls_dim=16,
+            replace_pob=0.0, num_heads=4, decoder_depth=1, decoder_num_heads=4,
+            return_all_tokens=False, cls_loss=False, register_shallow_hook=1,
+        ),
+        dvae_config=tiny_dvae_cfg(),
+    ))
+    cfg.update(over)
+    return cfg
+
+
+def make_points(rng, b=2, n=128):
+    return jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+
+
+RNGS = dict(params=jax.random.PRNGKey(0), gumbel=jax.random.PRNGKey(1),
+            mask=jax.random.PRNGKey(2), dropout=jax.random.PRNGKey(3),
+            droppath=jax.random.PRNGKey(4))
+
+
+class TestMasking:
+    def test_random_mask_fixed_count(self):
+        m = random_mask(jax.random.PRNGKey(0), 4, 16, 12)
+        assert m.shape == (4, 16)
+        np.testing.assert_array_equal(np.asarray(m.sum(-1)), 12)
+
+    def test_block_mask_contiguous(self):
+        center = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 3)),
+                             dtype=jnp.float32)
+        m = block_mask(jax.random.PRNGKey(0), center, 12)
+        np.testing.assert_array_equal(np.asarray(m.sum(-1)), 12)
+
+    def test_split_by_mask_preserves_order(self):
+        mask = jnp.asarray([[False, True, False, True]])
+        vis, msk = split_by_mask(mask, 2)
+        np.testing.assert_array_equal(np.asarray(vis), [[0, 2]])
+        np.testing.assert_array_equal(np.asarray(msk), [[1, 3]])
+
+    def test_gumbel_hard_one_hot(self):
+        logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 8)),
+                             dtype=jnp.float32)
+        y = gumbel_softmax(jax.random.PRNGKey(0), logits, tau=0.5, hard=True)
+        np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0, atol=1e-5)
+        assert ((np.asarray(y) == 0) | np.isclose(np.asarray(y), 1)).all()
+
+    def test_gumbel_hard_grad_flows(self):
+        logits = jnp.ones((1, 3, 8))
+        g = jax.grad(lambda l: jnp.sum(
+            gumbel_softmax(jax.random.PRNGKey(0), l, 1.0, True) ** 2))(logits)
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestDVAE:
+    def test_forward_and_loss(self, rng):
+        pts = make_points(rng)
+        model = DiscreteVAE(tiny_dvae_cfg())
+        variables = model.init(RNGS, pts, 1.0, False)
+        ret = model.apply(variables, pts, 1.0, False, rngs=RNGS)
+        whole_coarse, whole_fine, coarse, fine, nbr, logits = ret
+        assert coarse.shape == (2, 16, 2, 3)
+        assert fine.shape == (2, 16, 8, 3)
+        assert logits.shape == (2, 16, 64)
+        assert whole_fine.shape == (2, 128, 3)
+        rec, kld = model.apply(variables, ret, pts, method=model.get_loss)
+        assert np.isfinite(float(rec)) and np.isfinite(float(kld))
+        assert float(kld) >= 0
+
+    def test_train_grad(self, rng):
+        pts = make_points(rng)
+        model = DiscreteVAE(tiny_dvae_cfg())
+        variables = model.init(RNGS, pts, 1.0, False)
+        params = variables["params"]
+
+        def loss_fn(p):
+            ret, new_state = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                pts, 1.0, False, train=True, rngs=RNGS,
+                mutable=["batch_stats"])
+            rec, kld = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                ret, pts, method=model.get_loss)
+            return rec + 0.1 * kld
+
+        g = jax.grad(loss_fn)(params)
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_prompted_vit_tokenizer_features(self, rng):
+        pts = make_points(rng)
+        cfg = tiny_dvae_cfg(NAME="ACTPromptedDiscreteVAEwithVIT")
+        model = ACTPromptedDiscreteVAEwithVIT(cfg)
+        variables = model.init(RNGS, pts, 1.0, False)
+        from act_tpu import ops
+        nbr, center = ops.group_points(pts, 16, 8)
+        feats = model.apply(variables, nbr, center, rngs=RNGS,
+                            method=model.forward_tokenizer_features)
+        assert feats.shape == (2, 16, 32)
+        ids = model.apply(variables, nbr, center, method=model.forward_tokenizer)
+        assert ids.shape == (2, 16) and ids.dtype == jnp.int32
+
+    def test_registry_builds_all_dvae(self):
+        for name in ("DiscreteVAE", "ACTPromptedDiscreteVAEwithVIT",
+                     "ACTPromptedDiscreteVAEwithBERT"):
+            m = MODELS.build(tiny_dvae_cfg(NAME=name))
+            assert m is not None
+
+
+class TestACTPretrain:
+    def test_distillation_loss_and_grad(self, rng):
+        pts = make_points(rng)
+        model = ACT_PointDistillation(tiny_pretrain_cfg())
+        variables = model.init(RNGS, pts)
+        loss = model.apply(variables, pts, rngs=RNGS,
+                           mutable=["batch_stats"])[0]
+        assert np.isfinite(float(loss))
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                pts, rngs=RNGS, mutable=["batch_stats"])
+            return out
+        g = jax.grad(loss_fn)(variables["params"])
+        # student gets gradient, frozen tokenizer gets zero gradient
+        stu = sum(float(jnp.abs(x).sum()) for x in
+                  jax.tree_util.tree_leaves(g["ACT_encoder"]))
+        tok = sum(float(jnp.abs(x).sum()) for x in
+                  jax.tree_util.tree_leaves(g["dvae_tokenizer"]))
+        assert stu > 0
+        assert tok == 0.0
+
+    @pytest.mark.parametrize("loss_type", ["l2", "smoothl1", "ntxent", "barlow"])
+    def test_other_losses(self, rng, loss_type):
+        pts = make_points(rng)
+        model = ACT_PointDistillation(tiny_pretrain_cfg(loss=loss_type))
+        variables = model.init(RNGS, pts)
+        loss = model.apply(variables, pts, rngs=RNGS, mutable=["batch_stats"])[0]
+        assert np.isfinite(float(loss))
+
+    def test_cls_loss_path(self, rng):
+        pts = make_points(rng)
+        cfg = tiny_pretrain_cfg()
+        cfg.transformer_config.cls_loss = True
+        model = ACT_PointDistillation(cfg)
+        variables = model.init(RNGS, pts)
+        loss = model.apply(variables, pts, rngs=RNGS, mutable=["batch_stats"])[0]
+        assert np.isfinite(float(loss))
+
+    def test_forward_eval(self, rng):
+        pts = make_points(rng)
+        model = ACT_PointDistillation(tiny_pretrain_cfg())
+        variables = model.init(RNGS, pts)
+        feat = model.apply(variables, pts, noaug=True, rngs=RNGS)
+        assert feat.shape == (2, 16)  # cls_dim
+
+
+class TestPointBERT:
+    def cfg(self):
+        c = tiny_pretrain_cfg(NAME="ACT_PointBERT", m=0.999, T=0.07, K=8)
+        c.transformer_config.mask_ratio = [0.25, 0.45]
+        c.transformer_config.moco_loss = False
+        c.transformer_config.dvae_loss = True
+        c.transformer_config.cutmix_loss = True
+        c.transformer_config.return_all_tokens = False
+        return c
+
+    def test_losses_and_queue_update(self, rng):
+        pts = make_points(rng)
+        model = ACT_PointBERT(self.cfg())
+        variables = model.init(RNGS, pts)
+        (moco, dvae, cutmix), new_vars = model.apply(
+            variables, pts, rngs=RNGS, mutable=["buffers", "batch_stats"])
+        assert float(moco) == 0.0
+        assert np.isfinite(float(dvae)) and np.isfinite(float(cutmix))
+        assert int(new_vars["buffers"]["queue_ptr"]) == 2  # advanced by batch
+
+
+class TestPointTransformer:
+    def cfg(self, transfer="full"):
+        return ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.1,
+            cls_dim=10, num_heads=4, group_size=8, num_group=16,
+            encoder_dims=32, transfer_type=transfer))
+
+    @pytest.mark.parametrize("transfer", ["full", "linear", "mlp-3", "side",
+                                          "bit-fit"])
+    def test_forward_and_mask(self, rng, transfer):
+        pts = make_points(rng)
+        model = PointTransformer(self.cfg(transfer))
+        variables = model.init(RNGS, pts)
+        logits = model.apply(variables, pts, rngs=RNGS)
+        assert logits.shape == (2, 10)
+        loss, acc = get_loss_acc(logits, jnp.asarray([1, 2]))
+        assert np.isfinite(float(loss)) and 0 <= float(acc) <= 100
+        mask = trainable_mask(variables["params"], transfer)
+        n_train = sum(bool(x) for x in jax.tree_util.tree_leaves(mask))
+        n_total = len(jax.tree_util.tree_leaves(mask))
+        if transfer == "full":
+            assert n_train == n_total
+        else:
+            assert 0 < n_train < n_total
+
+    def test_extract_feature(self, rng):
+        pts = make_points(rng)
+        model = PointTransformer(self.cfg())
+        variables = model.init(RNGS, pts)
+        f = model.apply(variables, pts, method=model.extract_feature)
+        assert f.shape == (2, 64)  # 2 * embed_dim
