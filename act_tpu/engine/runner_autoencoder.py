@@ -1,0 +1,232 @@
+"""Stage-I dVAE autoencoder runner (reference tools/runner_autoencoder.py).
+
+Train: Gumbel temperature cosine anneal 1 -> 0.0625 over 100k iters (get_temp,
+:42-53), KLD-weight cosine ramp 0 -> 0.1 starting after a 10k-iter delay
+(compute_loss, :18-40), Chamfer-L1 recon + weighted KLD; grad clip. Validation:
+per-taxonomy CDL1/CDL2/F-Score table on whole-cloud reconstructions, ckpt-best on
+``consider_metric`` (CDL1).
+"""
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from act_tpu.datasets import transforms as T
+from act_tpu.engine import builder as engine_builder
+from act_tpu.engine import checkpoint as ckpt_lib
+from act_tpu.engine.train_state import TrainState, make_autoencoder_step
+from act_tpu.models import MODELS
+from act_tpu.parallel import make_mesh, shard_batch
+from act_tpu.utils import AverageMeter
+from act_tpu.utils.logger import print_log
+from act_tpu.utils.metrics import Metrics
+from act_tpu.utils.misc import set_random_seed, cosine_anneal
+
+
+def get_temp(config, n_itr: int) -> float:
+    """Temperature anneal (reference :42-53)."""
+    t = config.get("temp")
+    if t is None:
+        return 1.0
+    return cosine_anneal(n_itr, float(t.start), float(t.target), int(t.ntime))
+
+
+def get_kld_weight(config, n_itr: int) -> float:
+    """KLD weight ramp with 10k-iter delay (reference compute_loss :18-40)."""
+    k = config.get("kldweight")
+    if k is None:
+        return 0.0
+    delay = 10000
+    if n_itr < delay:
+        return 0.0
+    return cosine_anneal(n_itr - delay, float(k.start), float(k.target),
+                         int(k.ntime))
+
+
+def _apply_smoke(config):
+    config.max_epoch = 1
+    config.total_bs = 8
+    m = config.model
+    m.encoder_dims = 32
+    m.tokens_dims = 32
+    m.decoder_dims = 32
+    m.num_tokens = 64
+    if "visual_embed_dim" in m:
+        m.visual_embed_dim = 48
+        m.visual_embed_depth = 2
+        m.visual_embed_heads = 4
+        m.num_prompt_token = 4
+    for split in config.dataset.values():
+        split.others.npoints = min(int(split.others.get("npoints", 1024)), 256)
+    config.npoints = min(int(config.npoints), 256)
+    return config
+
+
+def run_net(args, config, train_writer=None, val_writer=None):
+    logger = args.log_name
+    smoke = bool(getattr(args, "smoke", False))
+    if smoke:
+        config = _apply_smoke(config)
+    mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+
+    config.dataset.train.others.bs = config.total_bs
+    config.dataset.val.others.bs = 1  # reference forces val bs=1 (main_autoencoder.py:46-47)
+    _, train_loader = engine_builder.dataset_builder(args, config.dataset.train)
+    _, val_loader = engine_builder.dataset_builder(args, config.dataset.val)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    model = MODELS.build(config.model)
+    npoints = int(config.dataset.train.others.npoints)
+    root_key = set_random_seed(args.seed)
+    sample = jnp.zeros((2, npoints, 3), jnp.float32)
+    init_rngs = dict(params=root_key, gumbel=root_key, dropout=root_key,
+                     droppath=root_key, mask=root_key)
+    variables = jax.jit(lambda: model.init(init_rngs, sample))()
+
+    frozen = []
+    if config.model.get("freeze_visual_embed", False):
+        # freeze ONLY the teacher backbone blocks/norm — prompts/proj/pos stay
+        # trainable (reference dvae.py:441-444 freezes visual_embed.parameters(),
+        # i.e. the timm blocks+norm submodule only)
+        frozen = [f"visual_embed']['blocks_", "visual_embed']['norm"]
+    trainable = engine_builder.freeze_mask_from_paths(variables["params"], frozen)
+    tx, schedule = engine_builder.build_optimizer(
+        config, variables["params"], steps_per_epoch,
+        trainable if frozen else None)
+    state = TrainState.create(variables, tx)
+
+    start_epoch = 0
+    best_metrics = None
+    if args.resume:
+        state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
+        if best:
+            best_metrics = Metrics(config.consider_metric, best)
+
+    train_step = make_autoencoder_step(model, transform_fn=None, mesh=mesh)
+
+    max_steps = 2 if smoke else None
+    n_itr = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, int(config.max_epoch)):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeter(["Loss1", "Loss2"])
+        t0 = time.time()
+        for idx, (tax, mid, data) in enumerate(train_loader):
+            pts = data[0] if isinstance(data, (tuple, list)) else data
+            pts = shard_batch(mesh, jnp.asarray(pts))
+            temp = get_temp(config, n_itr)
+            kldw = get_kld_weight(config, n_itr)
+            state, metrics = train_step(state, pts, root_key,
+                                        jnp.float32(temp), jnp.float32(kldw))
+            n_itr += 1
+            meters.update([float(metrics["recon"]) * 1000,
+                           float(metrics["kld"]) * 1000])
+            if idx % 100 == 0:
+                print_log(
+                    f"[Epoch {epoch}][Batch {idx + 1}/{steps_per_epoch}] "
+                    f"Losses(x1000) = {[f'{v:.4f}' for v in meters.val()]} "
+                    f"temp={temp:.4f} kld_w={kldw:.5f} "
+                    f"lr={float(schedule(int(state.step))):.6f}", logger=logger)
+                if train_writer is not None:
+                    train_writer.add_scalar("Loss/Batch/Recon",
+                                            meters.val(0), n_itr)
+            if max_steps and idx + 1 >= max_steps:
+                break
+        print_log(f"[Epoch {epoch}] EpochTime={time.time() - t0:.1f}s "
+                  f"Losses(x1000)={[f'{v:.4f}' for v in meters.avg()]}",
+                  logger=logger)
+
+        if epoch % args.val_freq == 0:
+            metrics = validate(model, state, val_loader, epoch, args, config,
+                               logger=logger, max_batches=4 if smoke else None)
+            if metrics.better_than(best_metrics):
+                best_metrics = metrics
+                ckpt_lib.save_checkpoint(state, epoch, metrics.state_dict(),
+                                         best_metrics.state_dict(), "ckpt-best",
+                                         args, logger)
+        ckpt_lib.save_checkpoint(
+            state, epoch, None,
+            best_metrics.state_dict() if best_metrics else None,
+            "ckpt-last", args, logger)
+    return state
+
+
+def validate(model, state, val_loader, epoch, args, config, logger=None,
+             max_batches=None):
+    """Per-taxonomy Chamfer/F-score table (reference validate, :219-323)."""
+    variables = state.variables()
+
+    @jax.jit
+    def recon_step(variables, pts):
+        ret = model.apply(variables, pts, 1.0, True,
+                          rngs=dict(gumbel=jax.random.PRNGKey(0)))
+        return ret[0], ret[1]  # whole_coarse, whole_fine
+
+    category_metrics = defaultdict(lambda: AverageMeter(Metrics.names()))
+    n_samples = 0
+    for idx, (taxonomy_ids, model_ids, data) in enumerate(val_loader):
+        if max_batches and idx >= max_batches:
+            break
+        pts = jnp.asarray(data[0] if isinstance(data, (tuple, list)) else data)
+        coarse, fine = recon_step(variables, pts)
+        for b in range(pts.shape[0]):
+            m = Metrics.get(np.asarray(fine[b]), np.asarray(pts[b]))
+            tax = taxonomy_ids[b] if isinstance(taxonomy_ids, (list, tuple)) \
+                else taxonomy_ids
+            category_metrics[tax].update(m)
+            n_samples += 1
+
+    overall = AverageMeter(Metrics.names())
+    print_log("============================ TEST RESULTS ============================",
+              logger=logger)
+    print_log("Taxonomy\t#Sample\t" + "\t".join(Metrics.names()), logger=logger)
+    for tax, meter in sorted(category_metrics.items()):
+        print_log(f"{tax}\t{meter.count(0)}\t" +
+                  "\t".join(f"{v:.4f}" for v in meter.avg()), logger=logger)
+        overall.update(meter.avg())
+    vals = overall.avg()
+    print_log("Overall\t\t" + "\t".join(f"{v:.4f}" for v in vals), logger=logger)
+    return Metrics(config.consider_metric, dict(zip(Metrics.names(), vals)))
+
+
+def validate_net(args, config):
+    """--val mode (reference validate_net :325-344)."""
+    logger = args.log_name
+    if getattr(args, "smoke", False):
+        config = _apply_smoke(config)
+    config.dataset.val.others.bs = 1
+    _, val_loader = engine_builder.dataset_builder(args, config.dataset.val)
+    model = MODELS.build(config.model)
+    state = _load_for_eval(model, config, args, logger)
+    return validate(model, state, val_loader, -1, args, config, logger=logger)
+
+
+def test_net(args, config):
+    """--test mode (reference test_net :346-420, without the cv2 render dump)."""
+    logger = args.log_name
+    if getattr(args, "smoke", False):
+        config = _apply_smoke(config)
+    config.dataset.test.others.bs = 1
+    _, test_loader = engine_builder.dataset_builder(args, config.dataset.test)
+    model = MODELS.build(config.model)
+    state = _load_for_eval(model, config, args, logger)
+    return validate(model, state, test_loader, -1, args, config, logger=logger)
+
+
+def _load_for_eval(model, config, args, logger):
+    from act_tpu.engine.builder import build_optimizer
+    from act_tpu.utils.config import ConfigDict
+    root_key = set_random_seed(args.seed)
+    npoints = int(config.dataset.get("val", config.dataset.test).others.npoints)
+    sample = jnp.zeros((1, npoints, 3), jnp.float32)
+    init_rngs = dict(params=root_key, gumbel=root_key, dropout=root_key,
+                     droppath=root_key, mask=root_key)
+    variables = jax.jit(lambda: model.init(init_rngs, sample))()
+    tx, _ = build_optimizer(config, variables["params"], 1, None)
+    state = TrainState.create(variables, tx)
+    if getattr(args, "ckpts", None):
+        state = ckpt_lib.load_params_into(state, args.ckpts, logger)
+    return state

@@ -1,0 +1,238 @@
+"""Finetune / test runner for classification (reference tools/runner_finetune.py).
+
+Train: FPS-resample trick (1024->fps 1200->random 1024 etc, reference :141-157),
+rotation augment, CE+acc, grad clip 10. Validate: FPS to npoints, overall accuracy
++ balanced accuracy (sklearn), cross-process gather. Vote: N rounds of FPS-subset
+resample + augment, mean logits (reference validate_vote :300-365, test :386-432).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from act_tpu import ops
+from act_tpu.datasets import transforms as T
+from act_tpu.engine import builder as engine_builder
+from act_tpu.engine import checkpoint as ckpt_lib
+from act_tpu.engine.train_state import TrainState, make_finetune_step, step_rngs
+from act_tpu.models import MODELS
+from act_tpu.models.point_transformer import trainable_mask
+from act_tpu.parallel import make_mesh, shard_batch
+from act_tpu.utils import AverageMeter
+from act_tpu.utils.logger import print_log
+from act_tpu.utils.misc import set_random_seed
+
+
+class AccMetric:
+    def __init__(self, acc: float = 0.0):
+        self.acc = float(acc)
+
+    def better_than(self, other):
+        return self.acc > other.acc
+
+    def state_dict(self):
+        return {"acc": self.acc}
+
+
+def _point_all(npoints: int) -> int:
+    """FPS oversample count (reference runner_finetune.py:143-151)."""
+    return {1024: 1200, 2048: 2400, 4096: 4800, 8192: 8192}.get(npoints, npoints)
+
+
+def _apply_smoke(config):
+    config.max_epoch = 1
+    config.total_bs = 8
+    config.model.depth = 2
+    config.model.embed_dim = 32
+    config.model.encoder_dims = 32
+    config.model.num_heads = 4
+    config.npoints = min(int(config.npoints), 256)
+    return config
+
+
+def build_state(args, config, logger, steps_per_epoch):
+    model = MODELS.build(config.model)
+    npoints = int(config.npoints)
+    root_key = set_random_seed(args.seed)
+    sample = jnp.zeros((2, npoints, 3), jnp.float32)
+    init_rngs = dict(params=root_key, mask=root_key, dropout=root_key,
+                     droppath=root_key)
+    variables = jax.jit(lambda: model.init(init_rngs, sample))()
+
+    transfer = config.model.get("transfer_type", "full")
+    trainable = trainable_mask(variables["params"], transfer)
+    tx, schedule = engine_builder.build_optimizer(
+        config, variables["params"], steps_per_epoch,
+        trainable if transfer != "full" else None)
+    state = TrainState.create(variables, tx)
+
+    if getattr(args, "ckpts", None) and not args.resume:
+        loaded = ckpt_lib.load_checkpoint(args.ckpts)
+        src = loaded.get("params", loaded)
+        merged = ckpt_lib.merge_pretrained(
+            jax.device_get(state.params), src, logger=logger)
+        state = state.replace(params=merged)
+        print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
+    return model, state, schedule, root_key
+
+
+def run_net(args, config, train_writer=None, val_writer=None):
+    logger = args.log_name
+    smoke = bool(getattr(args, "smoke", False))
+    if smoke:
+        config = _apply_smoke(config)
+    mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+    npoints = int(config.npoints)
+
+    config.dataset.train.others.bs = config.total_bs
+    config.dataset.val.others.bs = config.total_bs * 2
+    _, train_loader = engine_builder.dataset_builder(args, config.dataset.train)
+    _, val_loader = engine_builder.dataset_builder(args, config.dataset.val)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    model, state, schedule, root_key = build_state(args, config, logger,
+                                                   steps_per_epoch)
+
+    def train_transform(key, pts):
+        k1, k2 = jax.random.split(key)
+        pts = ops.fps_subsample(pts, _point_all(npoints), npoints, k1)
+        return T.rotate_y(k2, pts)  # reference train default (:19-29)
+
+    train_step = make_finetune_step(model, transform_fn=train_transform, mesh=mesh)
+
+    @jax.jit
+    def infer_step(variables, pts):
+        pts = ops.gather_points(pts, ops.furthest_point_sample(pts, npoints))
+        return model.apply(variables, pts)
+
+    start_epoch, best_metrics = 0, AccMetric(0.0)
+    if args.resume:
+        state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
+        if best:
+            best_metrics = AccMetric(best.get("acc", 0.0))
+
+    max_steps = 2 if smoke else None
+    for epoch in range(start_epoch, int(config.max_epoch)):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeter(["loss", "acc"])
+        t0 = time.time()
+        for idx, (tax, mid, data) in enumerate(train_loader):
+            pts, label = data
+            pts = shard_batch(mesh, jnp.asarray(pts))
+            label = shard_batch(mesh, jnp.asarray(label))
+            state, metrics = train_step(state, pts, label, root_key)
+            meters.update([float(metrics["loss"]), float(metrics["acc"])])
+            if max_steps and idx + 1 >= max_steps:
+                break
+        lr = float(schedule(int(state.step)))
+        print_log(f"[Epoch {epoch}] time={time.time() - t0:.1f}s "
+                  f"loss={meters.avg(0):.4f} acc={meters.avg(1):.2f} lr={lr:.6f}",
+                  logger=logger)
+
+        if epoch % args.val_freq == 0:
+            acc = validate(model, state, val_loader, infer_step, logger)
+            if acc.better_than(best_metrics):
+                best_metrics = acc
+                ckpt_lib.save_checkpoint(state, epoch, acc.state_dict(),
+                                         best_metrics.state_dict(), "ckpt-best",
+                                         args, logger)
+            # vote eval gate (reference :234-242, thresholds 92.1 / 91)
+            if getattr(args, "vote", False) and acc.acc > 91.0 and not smoke:
+                vote_acc = validate_vote(model, state, val_loader, npoints,
+                                         root_key, logger, times=10)
+                if vote_acc > best_metrics.acc:
+                    ckpt_lib.save_checkpoint(state, epoch,
+                                             {"acc": vote_acc},
+                                             best_metrics.state_dict(),
+                                             "ckpt-best_vote", args, logger)
+        ckpt_lib.save_checkpoint(state, epoch, None, best_metrics.state_dict(),
+                                 "ckpt-last", args, logger)
+    return state
+
+
+def _gather_eval(model, state, loader, infer_step):
+    variables = state.variables()
+    preds, labels = [], []
+    for tax, mid, data in loader:
+        pts, label = data
+        logits = infer_step(variables, jnp.asarray(pts))
+        preds.append(np.asarray(jnp.argmax(logits, -1)))
+        labels.append(np.asarray(label))
+    return np.concatenate(preds), np.concatenate(labels)
+
+
+def validate(model, state, loader, infer_step, logger) -> AccMetric:
+    preds, labels = _gather_eval(model, state, loader, infer_step)
+    oa = float((preds == labels).mean()) * 100.0
+    try:
+        from sklearn.metrics import balanced_accuracy_score
+        macc = balanced_accuracy_score(labels, preds) * 100.0
+    except Exception:
+        macc = float("nan")
+    print_log(f"[VALIDATION] OA = {oa:.4f}  mAcc = {macc:.4f}", logger=logger)
+    return AccMetric(oa)
+
+
+def validate_vote(model, state, loader, npoints, root_key, logger,
+                  times: int = 10) -> float:
+    """Mean-logit voting over FPS-subset resamples + scale/translate augment
+    (reference validate_vote, :300-365)."""
+    variables = state.variables()
+
+    @jax.jit
+    def vote_logits(variables, pts, key):
+        k1, k2 = jax.random.split(key)
+        p = ops.fps_subsample(pts, _point_all(npoints), npoints, k1)
+        p = T.scale_and_translate(k2, p)
+        return jax.nn.softmax(model.apply(variables, p), axis=-1)
+
+    correct, total = 0, 0
+    for i, (tax, mid, data) in enumerate(loader):
+        pts, label = data
+        pts = jnp.asarray(pts)
+        acc_logits = None
+        for v in range(times):
+            key = jax.random.fold_in(root_key, i * 1000 + v)
+            lg = vote_logits(variables, pts, key)
+            acc_logits = lg if acc_logits is None else acc_logits + lg
+        pred = np.asarray(jnp.argmax(acc_logits, -1))
+        correct += int((pred == np.asarray(label)).sum())
+        total += len(pred)
+    acc = correct / max(total, 1) * 100.0
+    print_log(f"[VOTE] acc = {acc:.4f} ({times} votes)", logger=logger)
+    return acc
+
+
+def test_net(args, config):
+    logger = args.log_name
+    smoke = bool(getattr(args, "smoke", False))
+    if smoke:
+        config = _apply_smoke(config)
+    npoints = int(config.npoints)
+    config.dataset.test.others.bs = config.total_bs * 2
+    _, test_loader = engine_builder.dataset_builder(args, config.dataset.test)
+    model, state, schedule, root_key = build_state(args, config, logger, 1)
+
+    @jax.jit
+    def infer_step(variables, pts):
+        pts = ops.gather_points(pts, ops.furthest_point_sample(pts, npoints))
+        return model.apply(variables, pts)
+
+    acc = validate(model, state, test_loader, infer_step, logger)
+    print_log(f"[TEST] OA = {acc.acc:.4f}", logger=logger)
+    if getattr(args, "vote", False):
+        # best-of-N vote rounds (reference test :425-432 runs 300)
+        rounds = 2 if smoke else 300
+        best = 0.0
+        for r in range(rounds):
+            key = jax.random.fold_in(root_key, r)
+            a = validate_vote(model, state, test_loader, npoints, key, logger,
+                              times=10)
+            best = max(best, a)
+            print_log(f"[TEST_VOTE] round {r} acc={a:.4f} best={best:.4f}",
+                      logger=logger)
+    return acc

@@ -1,0 +1,218 @@
+"""Stage-II pretraining runner (reference tools/runner_pretrain.py).
+
+Flow: build ShapeNet(whole) train loader + ModelNet val/extra_train loaders, the
+distillation (or PointBERT) model, optax chain with frozen-tokenizer masking, then
+the jitted train step over the data mesh. The SVM linear probe (evaluate_svm,
+reference :47-51 / validate :228-287) runs on cls features gathered across
+processes. Checkpoint policy: ckpt-last each epoch, late-epoch snapshots
+(reference :217-222).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from act_tpu.datasets import transforms as T
+from act_tpu.engine import builder as engine_builder
+from act_tpu.engine import checkpoint as ckpt_lib
+from act_tpu.engine.train_state import TrainState, make_pretrain_step, step_rngs
+from act_tpu.models import MODELS
+from act_tpu.parallel import make_mesh, shard_batch, is_main_process
+from act_tpu.utils import AverageMeter
+from act_tpu.utils.logger import print_log
+from act_tpu.utils.misc import set_random_seed
+
+
+class AccMetric:
+    """Scalar accuracy wrapper with better_than (reference Acc_Metric, :28-45)."""
+
+    def __init__(self, acc: float = 0.0):
+        self.acc = float(acc)
+
+    def better_than(self, other: "AccMetric") -> bool:
+        return self.acc > other.acc
+
+    def state_dict(self):
+        return {"acc": self.acc}
+
+
+def evaluate_svm(train_features, train_labels, test_features, test_labels) -> float:
+    """sklearn LinearSVC probe (reference evaluate_svm, runner_pretrain.py:47-51)."""
+    from sklearn.svm import LinearSVC
+    clf = LinearSVC()
+    clf.fit(train_features, train_labels)
+    pred = clf.predict(test_features)
+    return float(np.sum(test_labels == pred) * 1.0 / pred.shape[0])
+
+
+def _apply_smoke(config):
+    """Shrink for --smoke: 2 steps, tiny model dims, tiny datasets."""
+    config.max_epoch = 1
+    config.total_bs = 8
+    tc = config.model.get("transformer_config")
+    if tc is not None:
+        tc.depth = 2
+        tc.embed_dim = 32
+        tc.encoder_dims = 32
+        tc.num_heads = 4
+        tc.decoder_depth = 1
+        tc.decoder_num_heads = 4
+        tc.cls_dim = 32
+        if tc.get("register_shallow_hook", -1) >= tc.depth:
+            tc.register_shallow_hook = 1
+    dc = config.model.get("dvae_config", config.model)
+    dc.encoder_dims = 32
+    dc.tokens_dims = 32
+    dc.decoder_dims = 32
+    dc.num_tokens = 64
+    dc.visual_embed_dim = 48
+    dc.visual_embed_depth = 2
+    dc.visual_embed_heads = 4
+    dc.num_prompt_token = 4
+    for split in config.dataset.values():
+        split.others.npoints = min(int(split.others.get("npoints", 1024)), 256)
+    return config
+
+
+def run_net(args, config, train_writer=None, val_writer=None):
+    logger = args.log_name
+    smoke = bool(getattr(args, "smoke", False))
+    if smoke:
+        config = _apply_smoke(config)
+
+    mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+
+    # datasets -----------------------------------------------------------
+    config.dataset.train.others.bs = config.total_bs
+    _, train_loader = engine_builder.dataset_builder(args, config.dataset.train)
+    extra_loader = val_loader = None
+    if "val" in config.dataset:
+        config.dataset.val.others.bs = config.total_bs * 2
+        _, val_loader = engine_builder.dataset_builder(args, config.dataset.val)
+    if "extra_train" in config.dataset:
+        config.dataset.extra_train.others.bs = config.total_bs * 2
+        _, extra_loader = engine_builder.dataset_builder(
+            args, config.dataset.extra_train)
+
+    # model + optimizer --------------------------------------------------
+    model = MODELS.build(config.model)
+    npoints = int(config.dataset.train.others.npoints)
+    sample = jnp.zeros((2, npoints, 3), jnp.float32)
+    root_key = set_random_seed(args.seed)
+    init_rngs = dict(params=root_key, gumbel=root_key, mask=root_key,
+                     dropout=root_key, droppath=root_key)
+    variables = jax.jit(lambda: model.init(init_rngs, sample))()
+
+    is_pointbert = config.model.NAME == "ACT_PointBERT"
+    frozen = ["dvae_tokenizer"] if not is_pointbert else ["dvae", "transformer_k"]
+    trainable = engine_builder.freeze_mask_from_paths(variables["params"], frozen)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx, schedule = engine_builder.build_optimizer(
+        config, variables["params"], steps_per_epoch, trainable)
+    state = TrainState.create(variables, tx)
+
+    start_epoch = 0
+    best_metrics = AccMetric(0.0)
+    if args.resume:
+        state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
+        if best:
+            best_metrics = AccMetric(best.get("acc", 0.0))
+    elif getattr(args, "start_ckpts", None):
+        state = ckpt_lib.load_params_into(state, args.start_ckpts, logger)
+
+    train_step = make_pretrain_step(
+        model, transform_fn=T.scale_and_translate, mesh=mesh,
+        loss_is_tuple=is_pointbert,
+        ema_momentum=float(config.model.m) if is_pointbert else None)
+
+    # feature-extraction step for the SVM probe
+    @jax.jit
+    def feat_step(variables, pts):
+        return model.apply(variables, pts, noaug=True,
+                           rngs=dict(gumbel=root_key, mask=root_key))
+
+    print_log(f"[PRETRAIN] {config.model.NAME}: {steps_per_epoch} steps/epoch, "
+              f"{int(config.max_epoch)} epochs, mesh={mesh.shape}", logger=logger)
+
+    max_steps = 2 if smoke else None
+    n_step = 0
+    for epoch in range(start_epoch, int(config.max_epoch)):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeter(["Loss"])
+        batch_time = AverageMeter()
+        epoch_start = time.time()
+        tic = time.time()
+        for idx, (tax, mid, data) in enumerate(train_loader):
+            pts = data[0] if isinstance(data, (tuple, list)) else data
+            pts = shard_batch(mesh, jnp.asarray(pts))
+            state, metrics = train_step(state, pts, root_key)
+            n_step += 1
+            loss = float(metrics["loss"])
+            meters.update([loss])
+            batch_time.update(time.time() - tic)
+            tic = time.time()
+            if idx % 100 == 0:
+                lr = float(schedule(int(state.step)))
+                print_log(
+                    f"[Epoch {epoch}][Batch {idx + 1}/{steps_per_epoch}] "
+                    f"BatchTime={batch_time.avg():.3f}s Loss={meters.avg(0):.4f} "
+                    f"lr={lr:.6f}", logger=logger)
+                if train_writer is not None:
+                    train_writer.add_scalar("Loss/Batch/Loss", loss, int(state.step))
+                    train_writer.add_scalar("Loss/Batch/LR", lr, int(state.step))
+            if max_steps and idx + 1 >= max_steps:
+                break
+        print_log(f"[Epoch {epoch}] EpochTime={time.time() - epoch_start:.3f}s "
+                  f"Loss={meters.avg(0):.4f}", logger=logger)
+
+        if val_loader is not None and extra_loader is not None and not smoke \
+                and (epoch % args.val_freq == 0):
+            metrics = validate(state, model, feat_step, extra_loader, val_loader,
+                               epoch, args, config, logger=logger)
+            if metrics.better_than(best_metrics):
+                best_metrics = metrics
+                ckpt_lib.save_checkpoint(state, epoch,
+                                         {"acc": metrics.acc},
+                                         best_metrics.state_dict(),
+                                         "ckpt-best", args, logger)
+
+        ckpt_lib.save_checkpoint(state, epoch, None,
+                                 best_metrics.state_dict(), "ckpt-last",
+                                 args, logger)
+        if epoch % 25 == 0 and epoch >= 250:
+            ckpt_lib.save_checkpoint(state, epoch, None,
+                                     best_metrics.state_dict(),
+                                     f"ckpt-epoch-{epoch:03d}", args, logger)
+    return state
+
+
+def validate(state, model, feat_step, extra_train_loader, test_loader, epoch,
+             args, config, logger=None):
+    """SVM linear probe on cls features (reference validate, :228-287)."""
+    print_log(f"[VALIDATION] epoch {epoch} SVM probe", logger=logger)
+    variables = jax.device_get(state.variables())
+
+    def collect(loader):
+        feats, labels = [], []
+        for tax, mid, data in loader:
+            pts, label = data
+            f = feat_step(variables, jnp.asarray(pts))
+            feats.append(np.asarray(f))
+            labels.append(np.asarray(label))
+        return np.concatenate(feats), np.concatenate(labels)
+
+    train_f, train_l = collect(extra_train_loader)
+    test_f, test_l = collect(test_loader)
+    acc = evaluate_svm(train_f, train_l, test_f, test_l) * 100.0
+    print_log(f"[VALIDATION] epoch {epoch} linear-probe acc = {acc:.4f}",
+              logger=logger)
+    return AccMetric(acc)
+
+
+def test_net(args, config):  # reference test_net is a stub (:290)
+    raise NotImplementedError("pretrain test mode is not defined (matches reference)")

@@ -1,0 +1,198 @@
+"""Functional train state + jitted train/eval step factories.
+
+The reference's imperative epoch loops (tools/runner_*.py) become pure functions
+``(state, batch, rng) -> (state, metrics)`` compiled once with jax.jit over the
+device mesh: batch sharded on the data axis, params/optimizer state replicated —
+XLA inserts the gradient all-reduce (the DDP bucket analog) on ICI. Everything the
+reference did per-iteration in python (augments, grouping, masking, the frozen
+teacher forward, loss, optimizer, EMA/queue updates) runs inside the one program.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from act_tpu.parallel import (DATA_AXIS, batch_sharding, replicated)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    buffers: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables: Dict, tx: optax.GradientTransformation):
+        params = variables["params"]
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=variables.get("batch_stats", {}),
+                   buffers=variables.get("buffers", {}),
+                   opt_state=tx.init(params), tx=tx)
+
+    def variables(self) -> Dict:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        if self.buffers:
+            v["buffers"] = self.buffers
+        return v
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt)
+
+
+def step_rngs(base_key: jax.Array, step: jax.Array) -> Dict[str, jax.Array]:
+    """Derive the per-step named RNG streams from one root key."""
+    k = jax.random.fold_in(base_key, step)
+    names = ("gumbel", "mask", "dropout", "droppath", "augment")
+    keys = jax.random.split(k, len(names))
+    return dict(zip(names, keys))
+
+
+def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
+                       mesh=None, loss_is_tuple: bool = False,
+                       ema_momentum: Optional[float] = None) -> Callable:
+    """Train step for ACT_PointDistillation / ACT_PointBERT.
+
+    transform_fn(key, pts) applies the batch augmentation inside the program.
+    When ``ema_momentum`` is set, transformer_k params are EMA-updated from
+    transformer_q after the optimizer step (MoCo momentum encoder,
+    reference models/act.py:973-979).
+    """
+
+    def train_step(state: TrainState, pts: jax.Array, base_key: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if mesh is not None:
+            pts = jax.lax.with_sharding_constraint(
+                pts, NamedSharding(mesh, P(DATA_AXIS)))
+        rngs = step_rngs(base_key, state.step)
+        if transform_fn is not None:
+            pts = transform_fn(rngs.pop("augment"), pts)
+        else:
+            rngs.pop("augment")
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if state.buffers:
+                variables["buffers"] = state.buffers
+            mutable = [c for c in ("batch_stats", "buffers")
+                       if variables.get(c)]
+            out, new_vars = model.apply(variables, pts, train=True,
+                                        rngs=rngs, mutable=mutable)
+            if loss_is_tuple:
+                losses = out
+                loss = sum(losses)
+            else:
+                losses = (out,)
+                loss = out
+            return loss, (losses, new_vars)
+
+        (loss, (losses, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(
+            batch_stats=new_vars.get("batch_stats", state.batch_stats),
+            buffers=new_vars.get("buffers", state.buffers))
+
+        if ema_momentum is not None:
+            m = ema_momentum
+            new_k = jax.tree_util.tree_map(
+                lambda pk, pq: pk * m + pq * (1.0 - m),
+                state.params["transformer_k"], state.params["transformer_q"])
+            state = state.replace(
+                params={**state.params, "transformer_k": new_k})
+
+        metrics = {"loss": loss}
+        for i, l in enumerate(losses):
+            metrics[f"loss_{i + 1}"] = l
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
+                          mesh=None) -> Callable:
+    """Stage-I dVAE step. temperature/kld_weight enter as traced scalars so the
+    cosine anneals (tools/runner_autoencoder.py:18-53) don't retrigger compiles."""
+
+    def train_step(state: TrainState, pts: jax.Array, base_key: jax.Array,
+                   temperature: jax.Array, kld_weight: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if mesh is not None:
+            pts = jax.lax.with_sharding_constraint(
+                pts, NamedSharding(mesh, P(DATA_AXIS)))
+        rngs = step_rngs(base_key, state.step)
+        if transform_fn is not None:
+            pts = transform_fn(rngs.pop("augment"), pts)
+        else:
+            rngs.pop("augment")
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            ret, new_vars = model.apply(
+                variables, pts, temperature, False, train=True,
+                rngs=rngs, mutable=["batch_stats"])
+            recon, kld = model.apply(variables, ret, pts,
+                                     method=model.get_loss)
+            loss = recon + kld_weight * kld
+            return loss, (recon, kld, new_vars)
+
+        (loss, (recon, kld, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_vars["batch_stats"])
+        return state, {"loss": loss, "recon": recon, "kld": kld}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_finetune_step(model, transform_fn: Optional[Callable] = None,
+                       mesh=None, num_classes: int = 0) -> Callable:
+    """Classification step (reference tools/runner_finetune.py:117-245)."""
+    from act_tpu.models.point_transformer import get_loss_acc
+
+    def train_step(state: TrainState, pts: jax.Array, labels: jax.Array,
+                   base_key: jax.Array) -> Tuple[TrainState, Dict]:
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            pts = jax.lax.with_sharding_constraint(pts, sh)
+            labels = jax.lax.with_sharding_constraint(labels, sh)
+        rngs = step_rngs(base_key, state.step)
+        if transform_fn is not None:
+            pts = transform_fn(rngs.pop("augment"), pts)
+        else:
+            rngs.pop("augment")
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, new_vars = model.apply(variables, pts, train=True,
+                                           rngs=rngs, mutable=["batch_stats"])
+            loss, acc = get_loss_acc(logits, labels)
+            return loss, (acc, new_vars)
+
+        (loss, (acc, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_vars["batch_stats"])
+        return state, {"loss": loss, "acc": acc}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, method=None) -> Callable:
+    def eval_step(variables, pts):
+        return model.apply(variables, pts, **({} if method is None else {}),
+                           method=method)
+    return jax.jit(eval_step)

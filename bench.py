@@ -1,0 +1,114 @@
+"""Headline benchmark: Stage-II ACT pretraining throughput (point clouds/sec/chip).
+
+Measures the full jitted train step — grouping kernels (Pallas FPS + kNN), student
+MAE encoder, frozen ViT-B prompted teacher, decoder, cosine loss, AdamW with
+frozen-tokenizer masking, batch augments — on the default pretrain config shapes
+(B=128 global, N=1024, G=64xM=32, 12-layer student, 12-layer ViT-B teacher).
+
+Baseline: the reference publishes no throughput (BASELINE.md); the north star is
+>=5x a CPU reference (BASELINE.json). The CPU reference throughput of the
+*identical* XLA program is measured once and cached in .bench_cpu_baseline.json;
+``vs_baseline`` = tpu_throughput / (5 * cpu_throughput) — >= 1.0 meets the target.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_cpu_baseline.json")
+
+
+def measure_throughput(batch: int, steps: int, warmup: int = 3,
+                       tiny_cpu: bool = False) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import __graft_entry__ as ge
+    from act_tpu.models import MODELS
+    from act_tpu.parallel import make_mesh, shard_batch, replicate
+    from act_tpu.engine.train_state import TrainState, make_pretrain_step
+    from act_tpu.engine.builder import build_optimizer, freeze_mask_from_paths
+    from act_tpu.datasets import transforms as T
+    from act_tpu.utils.config import ConfigDict
+
+    cfg = ge._pretrain_cfg(tiny=False)
+    model = MODELS.build(cfg)
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(batch, 1024, 3)), dtype=jnp.float32)
+    rngs = ge._rngs()
+    variables = jax.jit(lambda: model.init(rngs, pts))()
+
+    train_cfg = ConfigDict(dict(
+        optimizer=dict(type="AdamW", kwargs=dict(lr=1e-3, weight_decay=0.05)),
+        scheduler=dict(type="CosLR", kwargs=dict(epochs=300, initial_epochs=10)),
+        step_per_update=1))
+    trainable = freeze_mask_from_paths(variables["params"], ["dvae_tokenizer"])
+    tx, _ = build_optimizer(train_cfg, variables["params"], 100, trainable)
+    state = replicate(mesh, TrainState.create(variables, tx))
+    step = make_pretrain_step(model, transform_fn=T.scale_and_translate,
+                              mesh=mesh)
+    pts = shard_batch(mesh, pts)
+    key = jax.random.PRNGKey(0)
+
+    with mesh:
+        for _ in range(warmup):
+            state, metrics = step(state, pts, key)
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.time()
+        for _ in range(steps):
+            state, metrics = step(state, pts, key)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.time() - t0
+    return batch * steps / dt
+
+
+def cpu_baseline() -> float:
+    """Reference-CPU throughput for the same program, cached across runs."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["clouds_per_sec_cpu"]
+    # run self in a CPU subprocess so backend selection is clean
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    val = json.loads(line)["clouds_per_sec_cpu"]
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"clouds_per_sec_cpu": val}, f)
+    return val
+
+
+def main():
+    if "--cpu-probe" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        thr = measure_throughput(batch=8, steps=2, warmup=1)
+        print(json.dumps({"clouds_per_sec_cpu": thr}))
+        return
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    value = measure_throughput(batch=batch, steps=steps)
+    try:
+        cpu = cpu_baseline()
+        vs = value / (5.0 * cpu)
+    except Exception:
+        cpu, vs = None, None
+    print(json.dumps({
+        "metric": "pretrain_clouds_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "point-clouds/sec/chip (ShapeNet55 Stage-II pretrain, B=%d)" % batch,
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

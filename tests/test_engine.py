@@ -1,0 +1,150 @@
+"""Engine tests: optimizer masks, schedules, train steps, multi-chip dry run,
+checkpoint round-trip, runner smoke via the real CLIs."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from act_tpu.utils.config import ConfigDict
+from act_tpu.engine.builder import (build_optimizer, build_schedule,
+                                    weight_decay_mask, freeze_mask_from_paths)
+from act_tpu.engine.train_state import TrainState, make_pretrain_step
+
+
+def train_cfg(**over):
+    cfg = ConfigDict(dict(
+        optimizer=dict(type="AdamW", kwargs=dict(lr=1e-3, weight_decay=0.05)),
+        scheduler=dict(type="CosLR", kwargs=dict(epochs=10, initial_epochs=2)),
+        step_per_update=1))
+    cfg.update(over)
+    return cfg
+
+
+class TestOptimizer:
+    def params(self):
+        return {
+            "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+            "cls_token": jnp.ones((1, 1, 4)),
+            "frozen_sub": {"kernel": jnp.ones((4, 4))},
+        }
+
+    def test_weight_decay_mask(self):
+        mask = weight_decay_mask(self.params())
+        assert mask["dense"]["kernel"] is True
+        assert mask["dense"]["bias"] is False       # bias
+        assert mask["cls_token"] is False           # 'token' + 1-D rule
+        assert mask["frozen_sub"]["kernel"] is True
+
+    def test_freeze_mask_and_zero_updates(self):
+        params = self.params()
+        trainable = freeze_mask_from_paths(params, ["frozen_sub"])
+        assert trainable["frozen_sub"]["kernel"] is False
+        tx, _ = build_optimizer(train_cfg(), params, 10, trainable)
+        opt_state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, opt_state, params)
+        assert float(jnp.abs(updates["frozen_sub"]["kernel"]).sum()) == 0.0
+        assert float(jnp.abs(updates["dense"]["kernel"]).sum()) > 0.0
+
+    def test_coslr_schedule_shape(self):
+        sched = build_schedule(
+            ConfigDict(dict(type="CosLR",
+                            kwargs=dict(epochs=10, initial_epochs=2))),
+            ConfigDict(dict(lr=1e-3)), steps_per_epoch=10)
+        warm = float(sched(0))
+        peak = float(sched(20))
+        end = float(sched(100))
+        assert warm < peak
+        assert abs(peak - 1e-3) < 1e-5
+        assert end < 1e-4
+
+    def test_grad_accum_multisteps(self):
+        params = {"w": jnp.ones((2,))}
+        tx, _ = build_optimizer(train_cfg(step_per_update=2), params, 10)
+        st = tx.init(params)
+        g = {"w": jnp.ones((2,))}
+        u1, st = tx.update(g, st, params)
+        assert float(jnp.abs(u1["w"]).sum()) == 0.0  # first of 2: accumulated
+        u2, st = tx.update(g, st, params)
+        assert float(jnp.abs(u2["w"]).sum()) > 0.0
+
+
+class TestMultichip:
+    def test_dryrun_8dev(self):
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+        assert len(jax.devices()) >= 8, "conftest must force 8 cpu devices"
+        ge.dryrun_multichip(8)
+
+    def test_batch_actually_sharded(self):
+        from act_tpu.parallel import make_mesh, shard_batch
+        mesh = make_mesh(jax.devices()[:8])
+        x = jnp.zeros((16, 4))
+        xs = shard_batch(mesh, x)
+        assert len(xs.sharding.device_set) == 8
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from act_tpu.engine import checkpoint as ckpt_lib
+
+        class A:
+            experiment_path = str(tmp_path)
+        params = {"w": jnp.arange(4.0)}
+        tx = optax.sgd(1e-2)
+        state = TrainState.create({"params": params}, tx)
+        ckpt_lib.save_checkpoint(state, 3, {"acc": 1.0}, {"acc": 2.0},
+                                 "ckpt-last", A())
+        state2 = TrainState.create(
+            {"params": {"w": jnp.zeros(4)}}, tx)
+        state2, epoch, best = ckpt_lib.resume_state(state2, A())
+        assert epoch == 4
+        np.testing.assert_allclose(np.asarray(state2.params["w"]),
+                                   np.arange(4.0))
+        assert best["acc"] == 2.0
+
+    def test_merge_pretrained_reports(self):
+        from act_tpu.engine.checkpoint import merge_pretrained
+        dst = {"a": {"w": np.zeros((2, 2))}, "b": np.zeros(3)}
+        src = {"a": {"w": np.ones((2, 2))}, "c": np.ones(5)}
+        merged = merge_pretrained(dst, src)
+        np.testing.assert_allclose(merged["a"]["w"], 1.0)
+        np.testing.assert_allclose(merged["b"], 0.0)
+
+
+@pytest.mark.slow
+class TestRunnerSmoke:
+    """Full CLI smoke runs (the reference's integration-test equivalents)."""
+
+    def _run(self, script, *flags):
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv=[%r,%s];"
+            "import %s as m; m.main()" % (
+                script, ",".join(repr(f) for f in flags),
+                script.replace(".py", "")))
+        r = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                           env=env, capture_output=True, text=True,
+                           timeout=540)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    def test_pretrain_smoke(self):
+        self._run("main.py", "--config",
+                  "cfgs/pretrain/pretrain_act_distill.yaml",
+                  "--exp_name", "ci_smoke", "--smoke")
+
+    def test_finetune_smoke(self):
+        self._run("main.py", "--config",
+                  "cfgs/finetune_classification/full/finetune_scan_hardest.yaml",
+                  "--exp_name", "ci_smoke", "--smoke", "--finetune_model")
+
+    def test_autoencoder_smoke(self):
+        self._run("main_autoencoder.py", "--config",
+                  "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
+                  "--exp_name", "ci_smoke", "--smoke")
