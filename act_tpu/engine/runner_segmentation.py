@@ -1,0 +1,362 @@
+"""Segmentation runners: ShapeNetPart + S3DIS train/eval on the shared library.
+
+Replaces the two forked subproject loops (part_segmentation/main.py,
+semantic_segmentation/main.py + main_test.py) with one implementation. Protocol
+parity: per-category part-IoU with the absent-part=1.0 rule
+(part_segmentation/main.py:273-299), best-instance-mIoU checkpointing; S3DIS
+class-weighted NLL, mIoU/OA/mAcc (semantic_segmentation/main.py:248-302) and the
+sliding-window whole-scene vote evaluation (main_test.py:54-139).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from act_tpu.datasets.loader import DataLoader
+from act_tpu.datasets.segmentation_datasets import (
+    PartNormalDataset, S3DISDataset, WholeSceneDataset, SEG_CLASSES,
+    NUM_PART_CLASSES, NUM_SHAPE_CATEGORIES, S3DIS_NUM_CLASSES)
+from act_tpu.engine import checkpoint as ckpt_lib
+from act_tpu.engine.builder import build_schedule
+from act_tpu.engine.train_state import TrainState, step_rngs
+from act_tpu.models import MODELS
+from act_tpu.models.segmentation import nll_seg_loss
+from act_tpu.parallel import make_mesh, shard_batch
+from act_tpu.utils.config import ConfigDict
+from act_tpu.utils.logger import print_log
+from act_tpu.utils.misc import set_random_seed
+
+LABEL_TO_CAT = {}
+for cat, labels in SEG_CLASSES.items():
+    for l in labels:
+        LABEL_TO_CAT[l] = cat
+
+
+def _np_augment(rng, pts):
+    """provider.random_scale_point_cloud + shift_point_cloud
+    (part_segmentation/main.py:197-199)."""
+    s = rng.uniform(0.8, 1.25, (pts.shape[0], 1, 1)).astype(np.float32)
+    t = rng.uniform(-0.1, 0.1, (pts.shape[0], 1, 3)).astype(np.float32)
+    return pts * s + t
+
+
+def part_iou_per_shape(pred: np.ndarray, target: np.ndarray, cat: str):
+    """Part IoUs for one shape with the absent-part=1.0 rule."""
+    part_ious = []
+    for l in SEG_CLASSES[cat]:
+        gt_l = target == l
+        pred_l = pred == l
+        if (not gt_l.any()) and (not pred_l.any()):
+            part_ious.append(1.0)
+        else:
+            inter = np.sum(gt_l & pred_l)
+            union = np.sum(gt_l | pred_l)
+            part_ious.append(inter / union if union else 1.0)
+    return part_ious
+
+
+def evaluate_partseg(infer_fn, variables, loader, logger=None) -> Dict[str, float]:
+    shape_ious = {cat: [] for cat in SEG_CLASSES}
+    correct, seen = 0, 0
+    for pts, cls, seg in loader:
+        one_hot = np.eye(NUM_SHAPE_CATEGORIES, dtype=np.float32)[cls]
+        logits = infer_fn(variables, jnp.asarray(pts), jnp.asarray(one_hot))
+        cats = [sorted(SEG_CLASSES)[c] for c in np.asarray(cls)]
+        logits = np.asarray(logits)
+        for b, cat in enumerate(cats):
+            # restrict argmax to the category's own parts (reference :262-268)
+            part_range = SEG_CLASSES[cat]
+            sub = logits[b][:, part_range]
+            pred = np.asarray(part_range)[sub.argmax(-1)]
+            shape_ious[cat].append(float(np.mean(
+                part_iou_per_shape(pred, np.asarray(seg[b]), cat))))
+            correct += int((pred == np.asarray(seg[b])).sum())
+            seen += pred.size
+    all_shape_ious = [i for v in shape_ious.values() for i in v]
+    cat_ious = {c: float(np.mean(v)) for c, v in shape_ious.items() if v}
+    metrics = {
+        "accuracy": correct / max(seen, 1),
+        "class_avg_iou": float(np.mean(list(cat_ious.values()))) if cat_ious else 0.0,
+        "instance_avg_iou": float(np.mean(all_shape_ious)) if all_shape_ious else 0.0,
+    }
+    for c, v in sorted(cat_ious.items()):
+        print_log(f"  eval mIoU of {c:<14s} {v:.4f}", logger=logger)
+    print_log(f"[SEG EVAL] acc={metrics['accuracy']:.4f} "
+              f"cls-mIoU={metrics['class_avg_iou']:.4f} "
+              f"ins-mIoU={metrics['instance_avg_iou']:.4f}", logger=logger)
+    return metrics
+
+
+def evaluate_semseg(infer_fn, variables, loader, num_classes=S3DIS_NUM_CLASSES,
+                    logger=None) -> Dict[str, float]:
+    total_seen = np.zeros(num_classes)
+    total_correct = np.zeros(num_classes)
+    total_union = np.zeros(num_classes)
+    correct, seen = 0, 0
+    for pts, seg in loader:
+        logits = infer_fn(variables, jnp.asarray(pts))
+        pred = np.asarray(jnp.argmax(logits, -1))
+        seg = np.asarray(seg)
+        correct += int((pred == seg).sum())
+        seen += seg.size
+        for l in range(num_classes):
+            total_seen[l] += np.sum(seg == l)
+            total_correct[l] += np.sum((pred == l) & (seg == l))
+            total_union[l] += np.sum((pred == l) | (seg == l))
+    iou = total_correct / np.maximum(total_union, 1)
+    macc = float(np.mean(total_correct / np.maximum(total_seen, 1)))
+    metrics = {"OA": correct / max(seen, 1), "mAcc": macc,
+               "mIoU": float(np.mean(iou))}
+    print_log(f"[SEMSEG EVAL] OA={metrics['OA']:.4f} mAcc={macc:.4f} "
+              f"mIoU={metrics['mIoU']:.4f}", logger=logger)
+    return metrics
+
+
+def _make_state(model, variables, args, steps_per_epoch):
+    schedule = build_schedule(
+        ConfigDict(dict(type="CosLR",
+                        kwargs=dict(epochs=int(args.epoch),
+                                    initial_epochs=min(10, int(args.epoch))))),
+        ConfigDict(dict(lr=float(args.learning_rate))), steps_per_epoch)
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(schedule, weight_decay=float(args.weight_decay)))
+    return TrainState.create(variables, tx), schedule
+
+
+def run_partseg(args, logger=None):
+    """Train + eval ShapeNetPart (reference part_segmentation/main.py:70-340)."""
+    root = getattr(args, "root",
+                   "data/shapenetcore_partanno_segmentation_benchmark_v0_normal")
+    npoints = int(args.npoint)
+    train_ds = PartNormalDataset(root, npoints, split="trainval")
+    test_ds = PartNormalDataset(root, npoints, split="test")
+    train_loader = DataLoader(train_ds, int(args.batch_size), shuffle=True,
+                              drop_last=True, seed=0)
+    test_loader = DataLoader(test_ds, int(args.batch_size), shuffle=False)
+
+    cfg = ConfigDict(dict(NAME="PartSegTransformer", cls_dim=NUM_PART_CLASSES,
+                          num_group=int(getattr(args, "num_group", 128)),
+                          group_size=32))
+    model = MODELS.build(cfg)
+    root_key = set_random_seed(0)
+    sample_pts = jnp.zeros((2, npoints, 3), jnp.float32)
+    sample_lab = jnp.zeros((2, NUM_SHAPE_CATEGORIES), jnp.float32)
+    rngs = dict(params=root_key, dropout=root_key, droppath=root_key)
+    variables = jax.jit(lambda: model.init(rngs, sample_pts, sample_lab))()
+
+    if getattr(args, "ckpts", None):
+        loaded = ckpt_lib.load_checkpoint(args.ckpts)
+        src = loaded.get("params", loaded)
+        # pretrain student keys live under ACT_encoder/backbone naming
+        merged = ckpt_lib.merge_pretrained(
+            jax.device_get(variables["params"]), _remap_backbone(src),
+            logger=logger)
+        variables = {**variables, "params": merged}
+
+    steps_per_epoch = max(len(train_loader), 1)
+    state, schedule = _make_state(model, variables, args, steps_per_epoch)
+
+    @jax.jit
+    def train_step(state, pts, one_hot, seg, key):
+        rngs = step_rngs(key, state.step)
+        rngs.pop("augment")
+
+        def loss_fn(params):
+            log_probs, new_vars = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, one_hot, train=True, rngs=rngs, mutable=["batch_stats"])
+            return nll_seg_loss(log_probs, seg), new_vars
+        (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads)
+        return state.replace(batch_stats=new_vars["batch_stats"]), loss
+
+    @jax.jit
+    def infer_fn(variables, pts, one_hot):
+        return model.apply(variables, pts, one_hot)
+
+    np_rng = np.random.default_rng(0)
+    best_ins_miou = 0.0
+    max_steps = 2 if getattr(args, "smoke", False) else None
+    epochs = 1 if getattr(args, "smoke", False) else int(args.epoch)
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        losses = []
+        for idx, (pts, cls, seg) in enumerate(train_loader):
+            pts = _np_augment(np_rng, np.asarray(pts))
+            one_hot = np.eye(NUM_SHAPE_CATEGORIES, dtype=np.float32)[cls]
+            state, loss = train_step(state, jnp.asarray(pts),
+                                     jnp.asarray(one_hot), jnp.asarray(seg),
+                                     root_key)
+            losses.append(float(loss))
+            if max_steps and idx + 1 >= max_steps:
+                break
+        print_log(f"[PartSeg][Epoch {epoch}] loss={np.mean(losses):.4f} "
+                  f"time={time.time() - t0:.1f}s", logger=logger)
+        metrics = evaluate_partseg(infer_fn, state.variables(),
+                                   _limit(test_loader, max_steps), logger)
+        if metrics["instance_avg_iou"] > best_ins_miou:
+            best_ins_miou = metrics["instance_avg_iou"]
+            ckpt_lib.save_checkpoint(state, epoch, metrics,
+                                     {"ins_miou": best_ins_miou},
+                                     "ckpt-best", args, logger)
+    print_log(f"[PartSeg] best instance mIoU = {best_ins_miou:.4f}",
+              logger=logger)
+    return best_ins_miou
+
+
+def run_semseg(args, logger=None):
+    """Train + eval S3DIS (reference semantic_segmentation/main.py)."""
+    root = getattr(args, "root", "data/stanford_indoor3d")
+    npoints = int(args.npoint)
+    train_ds = S3DISDataset("train", root, npoints,
+                            test_area=int(getattr(args, "test_area", 5)))
+    test_ds = S3DISDataset("test", root, npoints,
+                           test_area=int(getattr(args, "test_area", 5)))
+    train_loader = DataLoader(train_ds, int(args.batch_size), shuffle=True,
+                              drop_last=True, seed=0)
+    test_loader = DataLoader(test_ds, int(args.batch_size), shuffle=False)
+    weights = jnp.asarray(train_ds.labelweights)
+
+    cfg = ConfigDict(dict(NAME="SemSegTransformer", cls_dim=S3DIS_NUM_CLASSES,
+                          num_group=int(getattr(args, "num_group", 128)),
+                          group_size=32))
+    model = MODELS.build(cfg)
+    root_key = set_random_seed(0)
+    sample_pts = jnp.zeros((2, npoints, 3), jnp.float32)
+    rngs = dict(params=root_key, dropout=root_key, droppath=root_key)
+    variables = jax.jit(lambda: model.init(rngs, sample_pts))()
+    if getattr(args, "ckpts", None):
+        loaded = ckpt_lib.load_checkpoint(args.ckpts)
+        src = loaded.get("params", loaded)
+        merged = ckpt_lib.merge_pretrained(
+            jax.device_get(variables["params"]), _remap_backbone(src),
+            logger=logger)
+        variables = {**variables, "params": merged}
+
+    steps_per_epoch = max(len(train_loader), 1)
+    state, schedule = _make_state(model, variables, args, steps_per_epoch)
+
+    @jax.jit
+    def train_step(state, pts, seg, key):
+        rngs = step_rngs(key, state.step)
+        rngs.pop("augment")
+
+        def loss_fn(params):
+            log_probs, new_vars = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, train=True, rngs=rngs, mutable=["batch_stats"])
+            return nll_seg_loss(log_probs, seg, weights), new_vars
+        (loss, new_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads)
+        return state.replace(batch_stats=new_vars["batch_stats"]), loss
+
+    @jax.jit
+    def infer_fn(variables, pts):
+        return model.apply(variables, pts)
+
+    np_rng = np.random.default_rng(0)
+    best_miou = 0.0
+    max_steps = 2 if getattr(args, "smoke", False) else None
+    epochs = 1 if getattr(args, "smoke", False) else int(args.epoch)
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        losses = []
+        for idx, (pts, seg) in enumerate(train_loader):
+            pts = _np_augment(np_rng, np.asarray(pts))
+            state, loss = train_step(state, jnp.asarray(pts), jnp.asarray(seg),
+                                     root_key)
+            losses.append(float(loss))
+            if max_steps and idx + 1 >= max_steps:
+                break
+        print_log(f"[SemSeg][Epoch {epoch}] loss={np.mean(losses):.4f}",
+                  logger=logger)
+        metrics = evaluate_semseg(infer_fn, state.variables(),
+                                  _limit(test_loader, max_steps), logger=logger)
+        if metrics["mIoU"] > best_miou:
+            best_miou = metrics["mIoU"]
+            ckpt_lib.save_checkpoint(state, epoch, metrics,
+                                     {"mIoU": best_miou}, "ckpt-best",
+                                     args, logger)
+    print_log(f"[SemSeg] best mIoU = {best_miou:.4f}", logger=logger)
+    return best_miou, state, model
+
+
+def whole_scene_eval(args, state=None, model=None, logger=None,
+                     vote_num: int = 3):
+    """Sliding-window whole-scene vote eval (reference main_test.py:54-139)."""
+    root = getattr(args, "root", "data/stanford_indoor3d")
+    npoints = int(args.npoint)
+    ds = WholeSceneDataset(root, npoints,
+                           test_area=int(getattr(args, "test_area", 5)))
+    if model is None:
+        cfg = ConfigDict(dict(NAME="SemSegTransformer",
+                              cls_dim=S3DIS_NUM_CLASSES))
+        model = MODELS.build(cfg)
+        root_key = set_random_seed(0)
+        rngs = dict(params=root_key, dropout=root_key, droppath=root_key)
+        variables = jax.jit(lambda: model.init(
+            rngs, jnp.zeros((1, npoints, 3), jnp.float32)))()
+        if getattr(args, "ckpts", None):
+            payload = ckpt_lib.load_checkpoint(args.ckpts)
+            variables = {"params": payload["params"],
+                         "batch_stats": payload.get("batch_stats", {})}
+    else:
+        variables = state.variables()
+
+    @jax.jit
+    def infer_fn(variables, pts):
+        return model.apply(variables, pts)
+
+    total_correct = np.zeros(S3DIS_NUM_CLASSES)
+    total_seen = np.zeros(S3DIS_NUM_CLASSES)
+    total_union = np.zeros(S3DIS_NUM_CLASSES)
+    for scene_idx in range(len(ds)):
+        n_pts = len(ds.semantic_labels[scene_idx])
+        vote_pool = np.zeros((n_pts, S3DIS_NUM_CLASSES))
+        for _ in range(vote_num):
+            for block, labels, sel in ds.blocks_for_scene(scene_idx):
+                logits = infer_fn(variables, jnp.asarray(block)[None])
+                probs = np.asarray(jnp.exp(logits))[0]
+                np.add.at(vote_pool, sel, probs)
+        pred = vote_pool.argmax(-1)
+        gt = np.asarray(ds.semantic_labels[scene_idx])
+        for l in range(S3DIS_NUM_CLASSES):
+            total_seen[l] += np.sum(gt == l)
+            total_correct[l] += np.sum((pred == l) & (gt == l))
+            total_union[l] += np.sum((pred == l) | (gt == l))
+    iou = total_correct / np.maximum(total_union, 1)
+    metrics = {"OA": total_correct.sum() / max(total_seen.sum(), 1),
+               "mAcc": float(np.mean(
+                   total_correct / np.maximum(total_seen, 1))),
+               "mIoU": float(np.mean(iou))}
+    print_log(f"[WHOLE-SCENE] OA={metrics['OA']:.4f} "
+              f"mAcc={metrics['mAcc']:.4f} mIoU={metrics['mIoU']:.4f}",
+              logger=logger)
+    return metrics
+
+
+def _remap_backbone(params: dict) -> dict:
+    """Map pretrain-checkpoint student keys (ACT_encoder.*) onto the seg
+    backbone namespace (reference load_model_from_ckpt, pt.py:250-276)."""
+    src = params.get("ACT_encoder", params)
+    return {"backbone": src}
+
+
+def _limit(loader, max_batches):
+    if not max_batches:
+        return loader
+    def gen():
+        for i, b in enumerate(loader):
+            if i >= max_batches:
+                break
+            yield b
+    return gen()

@@ -1,0 +1,45 @@
+"""ShapeNetPart part-segmentation CLI (reference part_segmentation/main.py:49-67).
+
+Thin wrapper over the shared library (act_tpu.engine.runner_segmentation) — the
+reference forked the whole model/util stack into this directory; here one
+implementation serves all three CLIs.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser("part segmentation")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--epoch", type=int, default=300)
+    parser.add_argument("--learning_rate", type=float, default=0.0002)
+    parser.add_argument("--weight_decay", type=float, default=5e-2)
+    parser.add_argument("--npoint", type=int, default=2048)
+    parser.add_argument("--normal", action="store_true")
+    parser.add_argument("--log_dir", type=str, default="act_partseg")
+    parser.add_argument("--ckpts", type=str, default=None,
+                        help="pretrained student checkpoint")
+    parser.add_argument("--root", type=str,
+                        default="data/shapenetcore_partanno_segmentation_benchmark_v0_normal")
+    parser.add_argument("--num_group", type=int, default=128)
+    parser.add_argument("--smoke", action="store_true")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    args.experiment_path = os.path.join("./work_dirs/part_seg", args.log_dir)
+    os.makedirs(args.experiment_path, exist_ok=True)
+    from act_tpu.utils.logger import get_root_logger
+    logger = get_root_logger(
+        log_file=os.path.join(args.experiment_path, "train.log"),
+        name="PartSeg")
+    from act_tpu.engine.runner_segmentation import run_partseg
+    run_partseg(args, logger=logger)
+
+
+if __name__ == "__main__":
+    main()
