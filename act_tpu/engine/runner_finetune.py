@@ -85,6 +85,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
     smoke = bool(getattr(args, "smoke", False))
     if smoke:
         config = _apply_smoke(config)
+    if int(config.model.get("cls_dim", 0)) <= 0:
+        # few-shot configs leave cls_dim unset; it equals the N-way count
+        config.model.cls_dim = int(getattr(args, "way", 0))
     mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
     npoints = int(config.npoints)
 

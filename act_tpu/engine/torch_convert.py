@@ -1,0 +1,285 @@
+"""Convert reference PyTorch checkpoints (.pth) into act_tpu flax param trees.
+
+Covers the released ACT checkpoints (model_zoo: dVAE, pretrain, finetune) and the
+key surgery the reference applies on load (strip ``module.`` / ``ACT_encoder.`` /
+``base_model.`` — models/act.py:829-867, part_segmentation/models/pt.py:250-276).
+
+Layout translations torch -> flax (channels-last design):
+- Linear:            weight (out,in)      -> kernel (in,out) = W.T
+- Conv1d k=1:        weight (out,in,1)    -> kernel (in,out)
+- Conv2d k=1x1:      weight (out,in,1,1)  -> kernel (in,out)
+- BatchNorm/GroupNorm/LayerNorm: weight/bias -> scale/bias (+ running stats into
+  the batch_stats collection for BN)
+- qkv fused Dense: same transpose (head layout matches: reshape(3, H, hd) row-major)
+
+Usage::
+
+    sd = load_torch_state_dict('ckpt_act_dvae.pth')
+    params, batch_stats = convert_state_dict(sd, DVAE_RULES)
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from act_tpu.utils.logger import print_log
+
+
+def load_torch_state_dict(path: str, key: str = "base_model") -> Dict[str, np.ndarray]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt
+    for k in (key, "state_dict", "model_state_dict", "model"):
+        if isinstance(sd, dict) and k in sd:
+            sd = sd[k]
+            break
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("module.", "")
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# rule engine: (regex, flax-path-template, transform)
+# transform: 'linear' (transpose), 'conv1d', 'conv2d', 'none'
+# ---------------------------------------------------------------------------
+
+def _xform(arr: np.ndarray, how: str) -> np.ndarray:
+    if how == "linear":
+        return arr.T
+    if how == "conv1d":
+        return arr[:, :, 0].T
+    if how == "conv2d":
+        return arr[:, :, 0, 0].T
+    return arr
+
+
+# rules shared by every model that embeds the mini-PointNet group encoder
+def encoder_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """torch ``{src}.first_conv/second_conv`` -> flax ``{dst}/conv*/bn*``."""
+    R = []
+    conv_map = [("first_conv.0", "conv1", "conv1d"), ("first_conv.3", "conv2", "conv1d"),
+                ("second_conv.0", "conv3", "conv1d"), ("second_conv.3", "conv4", "conv1d")]
+    for tsrc, tdst, how in conv_map:
+        R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/kernel", how))
+        R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
+    for tsrc, tdst in [("first_conv.1", "bn1"), ("second_conv.1", "bn2")]:
+        R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/scale", "none"))
+        R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
+        R.append((rf"^{src}\.{tsrc}\.running_mean$", f"BS:{dst}/{tdst}/mean", "none"))
+        R.append((rf"^{src}\.{tsrc}\.running_var$", f"BS:{dst}/{tdst}/var", "none"))
+    return R
+
+
+def dgcnn_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    R = [(rf"^{src}\.input_trans\.weight$", f"{dst}/input_trans/kernel", "conv1d"),
+         (rf"^{src}\.input_trans\.bias$", f"{dst}/input_trans/bias", "none")]
+    for i in range(1, 6):
+        how = "conv1d" if i == 5 else "conv2d"
+        R.append((rf"^{src}\.layer{i}\.0\.weight$", f"{dst}/layer{i}/conv/kernel", how))
+        R.append((rf"^{src}\.layer{i}\.1\.weight$", f"{dst}/layer{i}/gn/scale", "none"))
+        R.append((rf"^{src}\.layer{i}\.1\.bias$", f"{dst}/layer{i}/gn/bias", "none"))
+    return R
+
+
+def vit_block_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """timm/our transformer Block: ``{src}.N.*`` -> ``{dst}/blocks_N/*``."""
+    N = r"(\d+)"
+    return [
+        (rf"^{src}\.{N}\.norm1\.weight$", f"{dst}/blocks_\\1/norm1/scale", "none"),
+        (rf"^{src}\.{N}\.norm1\.bias$", f"{dst}/blocks_\\1/norm1/bias", "none"),
+        (rf"^{src}\.{N}\.norm2\.weight$", f"{dst}/blocks_\\1/norm2/scale", "none"),
+        (rf"^{src}\.{N}\.norm2\.bias$", f"{dst}/blocks_\\1/norm2/bias", "none"),
+        (rf"^{src}\.{N}\.attn\.qkv\.weight$", f"{dst}/blocks_\\1/attn/qkv/kernel", "linear"),
+        (rf"^{src}\.{N}\.attn\.qkv\.bias$", f"{dst}/blocks_\\1/attn/qkv/bias", "none"),
+        (rf"^{src}\.{N}\.attn\.proj\.weight$", f"{dst}/blocks_\\1/attn/proj/kernel", "linear"),
+        (rf"^{src}\.{N}\.attn\.proj\.bias$", f"{dst}/blocks_\\1/attn/proj/bias", "none"),
+        (rf"^{src}\.{N}\.mlp\.fc1\.weight$", f"{dst}/blocks_\\1/mlp/fc1/kernel", "linear"),
+        (rf"^{src}\.{N}\.mlp\.fc1\.bias$", f"{dst}/blocks_\\1/mlp/fc1/bias", "none"),
+        (rf"^{src}\.{N}\.mlp\.fc2\.weight$", f"{dst}/blocks_\\1/mlp/fc2/kernel", "linear"),
+        (rf"^{src}\.{N}\.mlp\.fc2\.bias$", f"{dst}/blocks_\\1/mlp/fc2/bias", "none"),
+    ]
+
+
+def pos_embed_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    return [
+        (rf"^{src}\.0\.weight$", f"{dst}/fc1/kernel", "linear"),
+        (rf"^{src}\.0\.bias$", f"{dst}/fc1/bias", "none"),
+        (rf"^{src}\.2\.weight$", f"{dst}/fc2/kernel", "linear"),
+        (rf"^{src}\.2\.bias$", f"{dst}/fc2/bias", "none"),
+    ]
+
+
+def folding_decoder_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    R = []
+    for tsrc, tdst, how in [("mlp.0", "mlp1", "linear"), ("mlp.2", "mlp2", "linear"),
+                            ("mlp.4", "mlp3", "linear"),
+                            ("final_conv.0", "final1", "conv1d"),
+                            ("final_conv.3", "final2", "conv1d"),
+                            ("final_conv.6", "final3", "conv1d")]:
+        R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/kernel", how))
+        R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
+    for tsrc, tdst in [("final_conv.1", "fbn1"), ("final_conv.4", "fbn2")]:
+        R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/scale", "none"))
+        R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
+        R.append((rf"^{src}\.{tsrc}\.running_mean$", f"BS:{dst}/{tdst}/mean", "none"))
+        R.append((rf"^{src}\.{tsrc}\.running_var$", f"BS:{dst}/{tdst}/var", "none"))
+    return R
+
+
+def teacher_rules(src_prefix: str, dst: str) -> List[Tuple[str, str, str]]:
+    """Prompted teacher of the dVAE: proj/pos/prompts + timm blocks.
+
+    torch layout (dvae.py:405-437): visual_embed.0 = timm blocks (Sequential idx),
+    visual_embed.1 = final norm; proj_pre/proj_post/visual_pos_embed/prompts are
+    siblings of visual_embed in the torch module, but children of ``visual_embed``
+    in our flax tree (PromptedTeacher owns them).
+    """
+    p = rf"{src_prefix}" if not src_prefix else rf"{src_prefix}\."
+    R = [
+        (rf"^{p}proj_pre\.weight$", f"{dst}/proj_pre/kernel", "linear"),
+        (rf"^{p}proj_pre\.bias$", f"{dst}/proj_pre/bias", "none"),
+        (rf"^{p}proj_post\.weight$", f"{dst}/proj_post/kernel", "linear"),
+        (rf"^{p}proj_post\.bias$", f"{dst}/proj_post/bias", "none"),
+        (rf"^{p}visual_prompt_token$", f"{dst}/visual_prompt_token", "none"),
+        (rf"^{p}visual_prompt_pos$", f"{dst}/visual_prompt_pos", "none"),
+        (rf"^{p}deep_prompt_tokens$", f"{dst}/deep_prompt_tokens", "none"),
+        (rf"^{p}deep_prompt_pos$", f"{dst}/deep_prompt_pos", "none"),
+        (rf"^{p}visual_embed\.1\.weight$", f"{dst}/norm/scale", "none"),
+        (rf"^{p}visual_embed\.1\.bias$", f"{dst}/norm/bias", "none"),
+    ]
+    R += [
+        (rf"^{p}visual_pos_embed\.0\.weight$", f"{dst}/pos_fc1/kernel", "linear"),
+        (rf"^{p}visual_pos_embed\.0\.bias$", f"{dst}/pos_fc1/bias", "none"),
+        (rf"^{p}visual_pos_embed\.2\.weight$", f"{dst}/pos_fc2/kernel", "linear"),
+        (rf"^{p}visual_pos_embed\.2\.bias$", f"{dst}/pos_fc2/bias", "none"),
+    ]
+    R += vit_block_rules(rf"{p}visual_embed\.0".replace("\\.\\.", "\\."), dst)
+    return R
+
+
+def dvae_rules(prefix: str = "") -> List[Tuple[str, str, str]]:
+    """Full (prompted) DiscreteVAE. ``prefix``: torch prefix like 'dvae_tokenizer'."""
+    p = rf"{re.escape(prefix)}\." if prefix else ""
+    d = f"{prefix}/" if prefix else ""
+    R = []
+    R += encoder_rules((prefix + "." if prefix else "") + "encoder", f"{d}encoder")
+    R += dgcnn_rules((prefix + "." if prefix else "") + "dgcnn_1", f"{d}dgcnn_1")
+    R += dgcnn_rules((prefix + "." if prefix else "") + "dgcnn_2", f"{d}dgcnn_2")
+    R += [(rf"^{p}codebook$", f"{d}codebook", "none")]
+    R += folding_decoder_rules((prefix + "." if prefix else "") + "decoder",
+                               f"{d}decoder")
+    R += teacher_rules(prefix, f"{d}visual_embed")
+    return R
+
+
+def student_rules(prefix: str = "ACT_encoder") -> List[Tuple[str, str, str]]:
+    """VisableOnlyMaskTransformer / PointTransformer trunk."""
+    p = rf"{re.escape(prefix)}\." if prefix else ""
+    d = f"{prefix}/" if prefix else ""
+    R = []
+    R += encoder_rules((prefix + "." if prefix else "") + "encoder", f"{d}encoder")
+    R += [
+        (rf"^{p}cls_token$", f"{d}cls_token", "none"),
+        (rf"^{p}cls_pos$", f"{d}cls_pos", "none"),
+        (rf"^{p}reduce_dim\.weight$", f"{d}reduce_dim/kernel", "linear"),
+        (rf"^{p}reduce_dim\.bias$", f"{d}reduce_dim/bias", "none"),
+        (rf"^{p}norm\.weight$", f"{d}norm/scale", "none"),
+        (rf"^{p}norm\.bias$", f"{d}norm/bias", "none"),
+        (rf"^{p}lm_head\.weight$", f"{d}lm_head/kernel", "linear"),
+        (rf"^{p}lm_head\.bias$", f"{d}lm_head/bias", "none"),
+        (rf"^{p}cls_head\.0\.weight$", f"{d}cls_head/layers_0/kernel", "linear"),
+        (rf"^{p}cls_head\.0\.bias$", f"{d}cls_head/layers_0/bias", "none"),
+        (rf"^{p}cls_head\.2\.weight$", f"{d}cls_head/layers_2/kernel", "linear"),
+        (rf"^{p}cls_head\.2\.bias$", f"{d}cls_head/layers_2/bias", "none"),
+    ]
+    R += pos_embed_rules((prefix + "." if prefix else "") + "pos_embed",
+                         f"{d}pos_embed")
+    R += vit_block_rules(rf"{p}blocks\.blocks".replace("\\.\\.", "\\."),
+                         f"{d}blocks")
+    return R
+
+
+def point_transformer_rules() -> List[Tuple[str, str, str]]:
+    """Finetune PointTransformer (head variants)."""
+    R = student_rules(prefix="")
+    # mlp-3 head: Sequential 0/1/4/5/8 -> fc1/bn1/fc2/bn2/fc3
+    for tsrc, tdst, how in [("0", "fc1", "linear"), ("4", "fc2", "linear"),
+                            ("8", "fc3", "linear")]:
+        R.append((rf"^cls_head_finetune\.{tsrc}\.weight$",
+                  f"cls_head_finetune/{tdst}/kernel", how))
+        R.append((rf"^cls_head_finetune\.{tsrc}\.bias$",
+                  f"cls_head_finetune/{tdst}/bias", "none"))
+    for tsrc, tdst in [("1", "bn1"), ("5", "bn2")]:
+        R.append((rf"^cls_head_finetune\.{tsrc}\.weight$",
+                  f"cls_head_finetune/{tdst}/scale", "none"))
+        R.append((rf"^cls_head_finetune\.{tsrc}\.bias$",
+                  f"cls_head_finetune/{tdst}/bias", "none"))
+        R.append((rf"^cls_head_finetune\.{tsrc}\.running_mean$",
+                  f"BS:cls_head_finetune/{tdst}/mean", "none"))
+        R.append((rf"^cls_head_finetune\.{tsrc}\.running_var$",
+                  f"BS:cls_head_finetune/{tdst}/var", "none"))
+    # linear head variant
+    R.append((r"^cls_head_finetune\.weight$", "cls_head_finetune/kernel", "linear"))
+    R.append((r"^cls_head_finetune\.bias$", "cls_head_finetune/bias", "none"))
+    return R
+
+
+def act_distillation_rules() -> List[Tuple[str, str, str]]:
+    R = student_rules("ACT_encoder")
+    R += dvae_rules("dvae_tokenizer")
+    R += [
+        (r"^mask_token$", "mask_token", "none"),
+        (r"^proj_head\.weight$", "proj_head/kernel", "linear"),
+        (r"^proj_head\.bias$", "proj_head/bias", "none"),
+        (r"^cls_pos$", "cls_pos", "none"),
+    ]
+    R += pos_embed_rules("decoder_pos_embed", "decoder_pos_embed")
+    R += vit_block_rules(r"ACT_decoder\.blocks", "ACT_decoder")
+    R += [(r"^ACT_decoder\.norm\.weight$", "ACT_decoder/norm/scale", "none"),
+          (r"^ACT_decoder\.norm\.bias$", "ACT_decoder/norm/bias", "none")]
+    return R
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray],
+                       rules: List[Tuple[str, str, str]],
+                       logger=None) -> Tuple[dict, dict]:
+    """Apply rules; returns (params_tree, batch_stats_tree)."""
+    params: dict = {}
+    batch_stats: dict = {}
+    unmatched = []
+    for key, arr in sd.items():
+        hit = False
+        for pattern, template, how in rules:
+            m = re.match(pattern, key)
+            if m:
+                path = m.expand(template.replace("\\1", "\\g<1>")) \
+                    if "\\" in template else template
+                target = batch_stats if path.startswith("BS:") else params
+                path = path[3:] if path.startswith("BS:") else path
+                node = target
+                parts = path.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = _xform(np.asarray(arr), how)
+                hit = True
+                break
+        if not hit and ("running" not in key) and ("num_batches" not in key):
+            unmatched.append(key)
+    if unmatched:
+        print_log(f"[CONVERT] {len(unmatched)} unmatched torch keys "
+                  f"(first 10): {unmatched[:10]}", logger=logger)
+    return params, batch_stats
+
+
+def load_timm_vit(sd: Dict[str, np.ndarray], dst: str = "visual_embed",
+                  logger=None) -> Tuple[dict, dict]:
+    """Convert a raw timm ViT state_dict's blocks+norm into the teacher subtree
+    (for loading an official vit_base_patch16_384 checkpoint file directly)."""
+    rules = vit_block_rules(r"blocks", dst) + [
+        (r"^norm\.weight$", f"{dst}/norm/scale", "none"),
+        (r"^norm\.bias$", f"{dst}/norm/bias", "none")]
+    return convert_state_dict(sd, rules, logger=logger)
