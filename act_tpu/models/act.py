@@ -26,7 +26,8 @@ from act_tpu import ops
 from act_tpu.models.build import MODELS
 from act_tpu.utils.config import as_cfg
 from act_tpu.models.common import (GroupEncoder, PosEmbedMLP, TransformerDecoder,
-                                   TransformerEncoder, trunc_normal_init)
+                                   TransformerEncoder, dtype_from_cfg,
+                                   trunc_normal_init)
 from act_tpu.models.dvae import ACTPromptedDiscreteVAEwithVIT
 
 
@@ -88,7 +89,9 @@ class VisableOnlyMaskTransformer(nn.Module):
         self.num_heads = tc.num_heads
         self.cls_dim = tc.cls_dim
         self.encoder_dims = cfg.dvae_config.encoder_dims
-        self.encoder = GroupEncoder(self.encoder_dims, name="encoder")
+        self.dtype = dtype_from_cfg(tc)
+        self.encoder = GroupEncoder(self.encoder_dims, dtype=self.dtype,
+                                    name="encoder")
         self.use_reduce = self.encoder_dims != self.embed_dim
         if self.use_reduce:
             self.reduce_dim = nn.Dense(self.embed_dim, name="reduce_dim")
@@ -97,10 +100,11 @@ class VisableOnlyMaskTransformer(nn.Module):
                                     (1, 1, self.embed_dim))
         self.cls_pos = self.param("cls_pos", nn.initializers.normal(1.0),
                                   (1, 1, self.embed_dim))
-        self.pos_embed = PosEmbedMLP(self.embed_dim, name="pos_embed")
+        self.pos_embed = PosEmbedMLP(self.embed_dim, dtype=self.dtype,
+                                     name="pos_embed")
         self.blocks = TransformerEncoder(
             embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
-            drop_path_rate=tc.drop_path_rate, name="blocks")
+            drop_path_rate=tc.drop_path_rate, dtype=self.dtype, name="blocks")
         self.norm = nn.LayerNorm(name="norm")
         self.cls_head = nn.Sequential([
             nn.Dense(self.cls_dim), nn.gelu, nn.Dense(self.cls_dim)])
@@ -172,7 +176,9 @@ class MaskTransformer(nn.Module):
         self.replace_pob = tc.replace_pob
         self.num_tokens = cfg.dvae_config.num_tokens
         self.encoder_dims = tc.encoder_dims
-        self.encoder = GroupEncoder(self.encoder_dims, name="encoder")
+        self.dtype = dtype_from_cfg(tc)
+        self.encoder = GroupEncoder(self.encoder_dims, dtype=self.dtype,
+                                    name="encoder")
         self.reduce_dim = nn.Dense(self.embed_dim, name="reduce_dim")
         self.cls_token = self.param("cls_token", nn.initializers.normal(1.0),
                                     (1, 1, self.embed_dim))
@@ -180,10 +186,11 @@ class MaskTransformer(nn.Module):
                                      (1, 1, self.embed_dim))
         self.cls_pos = self.param("cls_pos", nn.initializers.normal(1.0),
                                   (1, 1, self.embed_dim))
-        self.pos_embed = PosEmbedMLP(self.embed_dim, name="pos_embed")
+        self.pos_embed = PosEmbedMLP(self.embed_dim, dtype=self.dtype,
+                                     name="pos_embed")
         self.blocks = TransformerEncoder(
             embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
-            drop_path_rate=tc.drop_path_rate, name="blocks")
+            drop_path_rate=tc.drop_path_rate, dtype=self.dtype, name="blocks")
         self.norm = nn.LayerNorm(name="norm")
         self.lm_head = nn.Dense(self.num_tokens, name="lm_head")
         self.cls_head = nn.Sequential([
@@ -314,7 +321,8 @@ class ACT_PointDistillation(nn.Module):
             self.ACT_decoder = TransformerDecoder(
                 embed_dim=self.embed_dim, depth=tc.decoder_depth,
                 num_heads=tc.decoder_num_heads,
-                drop_path_rate=tc.drop_path_rate, name="ACT_decoder")
+                drop_path_rate=tc.drop_path_rate, dtype=dtype_from_cfg(tc),
+                name="ACT_decoder")
         if self.cls_loss:
             self.cls_pos = self.param("cls_pos", nn.initializers.normal(1.0),
                                       (1, 1, self.embed_dim))

@@ -23,6 +23,16 @@ from act_tpu.ops import graph_feature_idx, gather_points
 Dtype = Any
 
 
+def dtype_from_cfg(cfg) -> Any:
+    """Map a config 'dtype' string to a jnp compute dtype (None = float32)."""
+    d = cfg.get("dtype", None) if hasattr(cfg, "get") else None
+    if d in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if d in ("f32", "float32", None):
+        return None
+    raise ValueError(f"unknown dtype {d}")
+
+
 def trunc_normal_init(std: float = 0.02):
     return nn.initializers.truncated_normal(stddev=std, lower=-2 * std, upper=2 * std)
 
@@ -47,14 +57,15 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: Optional[int] = None
     drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         out_dim = self.out_features or x.shape[-1]
-        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(out_dim, name="fc2")(x)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -69,20 +80,21 @@ class Attention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         B, N, C = x.shape
         head_dim = C // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
-        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -96,16 +108,18 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
         h = nn.LayerNorm(name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.qk_scale,
-                      self.attn_drop, self.drop, name="attn")(h, deterministic)
+                      self.attn_drop, self.drop, dtype=self.dtype,
+                      name="attn")(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
         h = nn.LayerNorm(name="norm2")(x)
-        h = Mlp(int(dim * self.mlp_ratio), drop=self.drop,
+        h = Mlp(int(dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
                 name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
         return x
@@ -123,6 +137,7 @@ class TransformerEncoder(nn.Module):
     qkv_bias: bool = False
     drop: float = 0.0
     attn_drop: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, pos: jax.Array, deterministic: bool = True,
@@ -132,6 +147,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.depth):
             x = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
                       drop=self.drop, attn_drop=self.attn_drop, drop_path=dpr[i],
+                      dtype=self.dtype,
                       name=f"blocks_{i}")(x + pos, deterministic)
             if i in return_hidden:
                 hidden.append(x)
@@ -146,6 +162,7 @@ class TransformerDecoder(nn.Module):
     num_heads: int
     drop_path_rate: float = 0.1
     mlp_ratio: float = 4.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, pos: jax.Array, return_token_num: int,
@@ -153,6 +170,7 @@ class TransformerDecoder(nn.Module):
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         for i in range(self.depth):
             x = Block(self.num_heads, self.mlp_ratio, drop_path=dpr[i],
+                      dtype=self.dtype,
                       name=f"blocks_{i}")(x + pos, deterministic)
         x = nn.LayerNorm(name="norm")(x[:, -return_token_num:])
         return x
@@ -162,12 +180,13 @@ class PosEmbedMLP(nn.Module):
     """3 -> 128 -> GELU -> dim positional embedding of group centers
     (the reference's pos_embed Sequential, models/act.py:173-177)."""
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, centers: jax.Array) -> jax.Array:
-        h = nn.Dense(128, name="fc1")(centers)
+        h = nn.Dense(128, dtype=self.dtype, name="fc1")(centers)
         h = nn.gelu(h, approximate=False)
-        return nn.Dense(self.dim, name="fc2")(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
 class GroupEncoder(nn.Module):
@@ -181,6 +200,7 @@ class GroupEncoder(nn.Module):
     encoder_channel: int
     bn_momentum: float = 0.9
     bn_axis_name: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, point_groups: jax.Array, train: bool = False) -> jax.Array:
@@ -188,16 +208,16 @@ class GroupEncoder(nn.Module):
         x = point_groups.reshape(B * G, M, 3)
         bn = dict(use_running_average=not train, momentum=self.bn_momentum,
                   axis_name=self.bn_axis_name if train else None)
-        x = nn.Dense(128, name="conv1")(x)
+        x = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(name="bn1", **bn)(x)
         x = nn.relu(x)
-        x = nn.Dense(256, name="conv2")(x)
+        x = nn.Dense(256, dtype=self.dtype, name="conv2")(x)
         g = jnp.max(x, axis=1, keepdims=True)  # (BG, 1, 256)
         x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (BG, M, 512)
-        x = nn.Dense(512, name="conv3")(x)
+        x = nn.Dense(512, dtype=self.dtype, name="conv3")(x)
         x = nn.BatchNorm(name="bn2", **bn)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.encoder_channel, name="conv4")(x)
+        x = nn.Dense(self.encoder_channel, dtype=self.dtype, name="conv4")(x)
         x = jnp.max(x, axis=1)  # (BG, C)
         return x.reshape(B, G, self.encoder_channel)
 
@@ -205,10 +225,11 @@ class GroupEncoder(nn.Module):
 class _GNConvLReLU(nn.Module):
     """1x1 conv + GroupNorm(4) + LeakyReLU(0.2), channels-last."""
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.features, use_bias=False, name="conv")(x)
+        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.GroupNorm(num_groups=4, name="gn")(x)
         return nn.leaky_relu(x, negative_slope=0.2)
 
@@ -223,6 +244,7 @@ class DGCNN(nn.Module):
     scales concatenate (2304 ch) into the output projection.
     """
     output_channel: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, f: jax.Array, coor: jax.Array) -> jax.Array:
@@ -234,15 +256,15 @@ class DGCNN(nn.Module):
             self_f = jnp.broadcast_to(feat[:, :, None, :], nbr.shape)
             return jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (B, G, 4, 2C)
 
-        f = nn.Dense(128, name="input_trans")(f)
+        f = nn.Dense(128, dtype=self.dtype, name="input_trans")(f)
         feats = []
         for i, ch in enumerate([256, 512, 512, 1024]):
             g = graph_feature(f)
-            g = _GNConvLReLU(ch, name=f"layer{i + 1}")(g)
+            g = _GNConvLReLU(ch, dtype=self.dtype, name=f"layer{i + 1}")(g)
             f = jnp.max(g, axis=2)  # (B, G, ch)
             feats.append(f)
         f = jnp.concatenate(feats, axis=-1)  # (B, G, 2304)
-        return _GNConvLReLU(self.output_channel, name="layer5")(f)
+        return _GNConvLReLU(self.output_channel, dtype=self.dtype, name="layer5")(f)
 
 
 class FoldingDecoder(nn.Module):
@@ -256,6 +278,7 @@ class FoldingDecoder(nn.Module):
     grid_size: int = 2
     bn_momentum: float = 0.9
     bn_axis_name: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feature_global: jax.Array, train: bool = False
@@ -265,9 +288,9 @@ class FoldingDecoder(nn.Module):
         B, G, C = feature_global.shape
         fg = feature_global.reshape(B * G, C)
 
-        h = nn.Dense(1024, name="mlp1")(fg)
+        h = nn.Dense(1024, dtype=self.dtype, name="mlp1")(fg)
         h = nn.relu(h)
-        h = nn.Dense(1024, name="mlp2")(h)
+        h = nn.Dense(1024, dtype=self.dtype, name="mlp2")(h)
         h = nn.relu(h)
         coarse = nn.Dense(3 * num_coarse, name="mlp3")(h).reshape(B * G, num_coarse, 3)
 
@@ -283,10 +306,10 @@ class FoldingDecoder(nn.Module):
 
         bn = dict(use_running_average=not train, momentum=self.bn_momentum,
                   axis_name=self.bn_axis_name if train else None)
-        h = nn.Dense(512, name="final1")(feat)
+        h = nn.Dense(512, dtype=self.dtype, name="final1")(feat)
         h = nn.BatchNorm(name="fbn1", **bn)(h)
         h = nn.relu(h)
-        h = nn.Dense(512, name="final2")(h)
+        h = nn.Dense(512, dtype=self.dtype, name="final2")(h)
         h = nn.BatchNorm(name="fbn2", **bn)(h)
         h = nn.relu(h)
         offset = nn.Dense(3, name="final3")(h)

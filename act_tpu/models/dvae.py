@@ -21,7 +21,7 @@ from act_tpu import ops
 from act_tpu.models.build import MODELS
 from act_tpu.utils.config import as_cfg
 from act_tpu.models.common import (DGCNN, FoldingDecoder, GroupEncoder,
-                                   gumbel_softmax)
+                                   dtype_from_cfg, gumbel_softmax)
 from act_tpu.models.teacher import PromptedTeacher
 
 
@@ -35,13 +35,16 @@ class _DVAEBase(nn.Module):
         self.num_group = cfg.num_group
         self.num_tokens = cfg.num_tokens
         self.tokens_dims = cfg.tokens_dims
-        self.encoder = GroupEncoder(cfg.encoder_dims, name="encoder")
-        self.dgcnn_1 = DGCNN(cfg.num_tokens, name="dgcnn_1")
+        self.dtype = dtype_from_cfg(cfg)
+        self.encoder = GroupEncoder(cfg.encoder_dims, dtype=self.dtype,
+                                    name="encoder")
+        self.dgcnn_1 = DGCNN(cfg.num_tokens, dtype=self.dtype, name="dgcnn_1")
         self.codebook = self.param(
             "codebook", nn.initializers.normal(stddev=1.0),
             (cfg.num_tokens, cfg.tokens_dims))
-        self.dgcnn_2 = DGCNN(cfg.decoder_dims, name="dgcnn_2")
-        self.decoder = FoldingDecoder(cfg.group_size, name="decoder")
+        self.dgcnn_2 = DGCNN(cfg.decoder_dims, dtype=self.dtype, name="dgcnn_2")
+        self.decoder = FoldingDecoder(cfg.group_size, dtype=self.dtype,
+                                      name="decoder")
         self._setup_teacher()
 
     def _setup_teacher(self):
@@ -149,6 +152,7 @@ class ACTPromptedDiscreteVAEwithVIT(_DVAEBase):
             num_prompt_token=cfg.num_prompt_token,
             use_deep_prompt=cfg.use_deep_prompt,
             arch="vit",
+            dtype=dtype_from_cfg(cfg),
             name="visual_embed",
         )
 
@@ -168,5 +172,6 @@ class ACTPromptedDiscreteVAEwithBERT(_DVAEBase):
             num_prompt_token=cfg.num_prompt_token,
             use_deep_prompt=cfg.use_deep_prompt,
             arch="bert",
+            dtype=dtype_from_cfg(cfg),
             name="visual_embed",
         )

@@ -26,13 +26,16 @@ class PostLNBlock(nn.Module):
     """BERT-style post-LN transformer block (for the BERT teacher variant)."""
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         from act_tpu.models.common import Attention
-        h = Attention(self.num_heads, qkv_bias=True, name="attn")(x, deterministic)
+        h = Attention(self.num_heads, qkv_bias=True, dtype=self.dtype,
+                      name="attn")(x, deterministic)
         x = nn.LayerNorm(name="norm1")(x + h)
-        h = Mlp(int(x.shape[-1] * self.mlp_ratio), name="mlp")(x, deterministic)
+        h = Mlp(int(x.shape[-1] * self.mlp_ratio), dtype=self.dtype,
+                name="mlp")(x, deterministic)
         x = nn.LayerNorm(name="norm2")(x + h)
         return x
 
@@ -53,11 +56,14 @@ class PromptedTeacher(nn.Module):
     use_deep_prompt: bool = True
     prompt_dropout: float = 0.1
     arch: str = "vit"
+    dtype: Any = None
 
     def _block(self, i: int):
         if self.arch == "bert":
-            return PostLNBlock(self.num_heads, name=f"blocks_{i}")
-        return Block(self.num_heads, qkv_bias=True, name=f"blocks_{i}")
+            return PostLNBlock(self.num_heads, dtype=self.dtype,
+                               name=f"blocks_{i}")
+        return Block(self.num_heads, qkv_bias=True, dtype=self.dtype,
+                     name=f"blocks_{i}")
 
     @nn.compact
     def __call__(self, tokens: jax.Array, center: jax.Array,
@@ -66,11 +72,12 @@ class PromptedTeacher(nn.Module):
         P = self.num_prompt_token
 
         # positional embedding of the 3D group centers (dvae.py:413-417)
-        pos = nn.Dense(128, name="pos_fc1")(center)
+        pos = nn.Dense(128, dtype=self.dtype, name="pos_fc1")(center)
         pos = nn.gelu(pos, approximate=False)
-        pos = nn.Dense(self.embed_dim, name="pos_fc2")(pos)
+        pos = nn.Dense(self.embed_dim, dtype=self.dtype, name="pos_fc2")(pos)
 
-        feature = nn.Dense(self.embed_dim, name="proj_pre")(tokens)
+        feature = nn.Dense(self.embed_dim, dtype=self.dtype,
+                           name="proj_pre")(tokens)
 
         if P > 0:
             prompt = self.param("visual_prompt_token", trunc_normal_init(),
@@ -108,4 +115,4 @@ class PromptedTeacher(nn.Module):
             x = nn.LayerNorm(name="norm")(x)
         if P > 0:
             x = x[:, P:]
-        return nn.Dense(self.tokens_dims, name="proj_post")(x)
+        return nn.Dense(self.tokens_dims, dtype=self.dtype, name="proj_post")(x)
