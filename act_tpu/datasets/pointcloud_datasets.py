@@ -131,6 +131,13 @@ class ShapeNet(_SyntheticMixin):
 
 
 @DATASETS.register_module()
+class ShapeNetImagePoint(ShapeNet):
+    """Registered duplicate of ShapeNet (reference ShapeNet55Dataset.py keeps an
+    identical second class under this name)."""
+    pass
+
+
+@DATASETS.register_module()
 class ModelNet(_SyntheticMixin):
     def __init__(self, config):
         self.root = config.DATA_PATH

@@ -205,15 +205,61 @@ def validate_net(args, config):
 
 
 def test_net(args, config):
-    """--test mode (reference test_net :346-420, without the cv2 render dump)."""
+    """--test mode: metrics table + qualitative reconstruction dump
+    (reference test_net :346-420 saves gt/dense txt + rendered jpg to ./vis)."""
     logger = args.log_name
-    if getattr(args, "smoke", False):
+    smoke = getattr(args, "smoke", False)
+    if smoke:
         config = _apply_smoke(config)
     config.dataset.test.others.bs = 1
     _, test_loader = engine_builder.dataset_builder(args, config.dataset.test)
     model = MODELS.build(config.model)
     state = _load_for_eval(model, config, args, logger)
-    return validate(model, state, test_loader, -1, args, config, logger=logger)
+    metrics = validate(model, state, test_loader, -1, args, config,
+                       logger=logger, max_batches=4 if smoke else None)
+    dump_reconstructions(model, state, test_loader, args, logger,
+                         max_dumps=2 if smoke else 20)
+    return metrics
+
+
+def dump_reconstructions(model, state, loader, args, logger, max_dumps=20):
+    """Save gt/dense point clouds as txt + rendered jpgs (reference :363-420)."""
+    import os
+    from act_tpu.utils.misc import get_ptcloud_img
+    variables = state.variables()
+
+    @jax.jit
+    def recon_step(variables, pts):
+        ret = model.apply(variables, pts, 1.0, True,
+                          rngs=dict(gumbel=jax.random.PRNGKey(0)))
+        return ret[1]  # whole_fine
+
+    vis_dir = os.path.join(args.experiment_path, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    n = 0
+    for taxonomy_ids, model_ids, data in loader:
+        if n >= max_dumps:
+            break
+        pts = jnp.asarray(data[0] if isinstance(data, (tuple, list)) else data)
+        dense = np.asarray(recon_step(variables, pts))[0]
+        gt = np.asarray(pts)[0]
+        tax = taxonomy_ids[0] if isinstance(taxonomy_ids, (list, tuple)) \
+            else str(taxonomy_ids)
+        prefix = os.path.join(vis_dir, f"{tax}_{n:03d}")
+        np.savetxt(prefix + "_gt.txt", gt, fmt="%.6f")
+        np.savetxt(prefix + "_dense.txt", dense, fmt="%.6f")
+        try:
+            import imageio
+            imageio.imwrite(prefix + "_gt.jpg", get_ptcloud_img(gt))
+            imageio.imwrite(prefix + "_dense.jpg", get_ptcloud_img(dense))
+        except Exception:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.imsave(prefix + "_gt.jpg", get_ptcloud_img(gt))
+            plt.imsave(prefix + "_dense.jpg", get_ptcloud_img(dense))
+        n += 1
+    print_log(f"[TEST] dumped {n} reconstructions to {vis_dir}", logger=logger)
 
 
 def _load_for_eval(model, config, args, logger):

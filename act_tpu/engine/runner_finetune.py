@@ -158,6 +158,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
 
 def _gather_eval(model, state, loader, infer_step):
+    from act_tpu.parallel import gather_concat
     variables = state.variables()
     preds, labels = [], []
     for tax, mid, data in loader:
@@ -165,7 +166,9 @@ def _gather_eval(model, state, loader, infer_step):
         logits = infer_step(variables, jnp.asarray(pts))
         preds.append(np.asarray(jnp.argmax(logits, -1)))
         labels.append(np.asarray(label))
-    return np.concatenate(preds), np.concatenate(labels)
+    # concat local shard, then across processes (reference gather_tensor)
+    return gather_concat(np.concatenate(preds)), gather_concat(
+        np.concatenate(labels))
 
 
 def validate(model, state, loader, infer_step, logger) -> AccMetric:

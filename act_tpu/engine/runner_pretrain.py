@@ -206,8 +206,11 @@ def validate(state, model, feat_step, extra_train_loader, test_loader, epoch,
             labels.append(np.asarray(label))
         return np.concatenate(feats), np.concatenate(labels)
 
+    from act_tpu.parallel import gather_concat
     train_f, train_l = collect(extra_train_loader)
     test_f, test_l = collect(test_loader)
+    train_f, train_l = gather_concat(train_f), gather_concat(train_l)
+    test_f, test_l = gather_concat(test_f), gather_concat(test_l)
     acc = evaluate_svm(train_f, train_l, test_f, test_l) * 100.0
     print_log(f"[VALIDATION] epoch {epoch} linear-probe acc = {acc:.4f}",
               logger=logger)

@@ -226,12 +226,14 @@ class MaskTransformer(nn.Module):
         x, _ = self.blocks(x, pos, deterministic=not train)
         x = self.norm(x)
 
-        if only_cls_tokens:
-            return self.cls_head(x[:, 0])
+        # always touch both heads so the q/k param trees match for the EMA
+        cls_feature = self.cls_head(x[:, 0])
         logits = self.lm_head(x[:, 1:])  # (B, G, num_tokens)
-        # always return all-token logits + mask; the caller selects masked
-        # positions with jnp.where weights (static shapes)
-        return self.cls_head(x[:, 0]), logits, mask
+        if only_cls_tokens:
+            return cls_feature
+        # all-token logits + mask; the caller selects masked positions with
+        # jnp.where weights (static shapes)
+        return cls_feature, logits, mask
 
 
 # ---------------------------------------------------------------------------

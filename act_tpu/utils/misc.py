@@ -117,6 +117,27 @@ def separate_point_cloud(key: jax.Array, xyz: jax.Array, num_points: int,
     return keep_part, crop_part
 
 
+def get_ptcloud_img(ptcloud: np.ndarray) -> np.ndarray:
+    """Render a point cloud to an RGB image array (reference utils/misc.py:212-240)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig = plt.figure(figsize=(4, 4))
+    x, z, y = ptcloud[:, 0], ptcloud[:, 1], ptcloud[:, 2]
+    ax = fig.add_subplot(111, projection="3d")
+    ax.axis("off")
+    ax.view_init(30, 45)
+    lim = float(np.abs(ptcloud).max())
+    ax.set_xbound(-lim, lim)
+    ax.set_ybound(-lim, lim)
+    ax.set_zbound(-lim, lim)
+    ax.scatter(x, y, z, zdir="z", c=x, cmap="jet", s=2)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+    plt.close(fig)
+    return img
+
+
 # ---------------------------------------------------------------------------
 # parameter summaries
 # ---------------------------------------------------------------------------

@@ -22,6 +22,9 @@ def main():
     log_file = os.path.join(args.experiment_path, f"{timestamp}.log")
     logger = get_root_logger(log_file=log_file, name=args.log_name)
 
+    from act_tpu.utils.writer import get_writer, basic_log
+    train_writer = get_writer(os.path.join(args.tfboard_path, "train"))
+    val_writer = get_writer(os.path.join(args.tfboard_path, "test"))
     config = get_config(args, logger=logger)
     # per-process batch size: config.total_bs stays global; the DataLoader shards
     # the index space per process and the mesh shards each global batch (the
@@ -44,10 +47,10 @@ def main():
         runner_finetune.test_net(args, config)
     elif args.finetune_model or args.scratch_model:
         from act_tpu.engine import runner_finetune
-        runner_finetune.run_net(args, config)
+        runner_finetune.run_net(args, config, train_writer, val_writer)
     else:
         from act_tpu.engine import runner_pretrain
-        runner_pretrain.run_net(args, config)
+        runner_pretrain.run_net(args, config, train_writer, val_writer)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,9 @@ def main():
     timestamp = __import__("time").strftime("%Y%m%d_%H%M%S")
     log_file = os.path.join(args.experiment_path, f"{timestamp}.log")
     logger = get_root_logger(log_file=log_file, name=args.log_name)
+    from act_tpu.utils.writer import get_writer, basic_log
+    train_writer = get_writer(os.path.join(args.tfboard_path, "train"))
+    val_writer = get_writer(os.path.join(args.tfboard_path, "test"))
     config = get_config(args, logger=logger)
     log_args_to_file(args, "args", logger=logger)
     log_config_to_file(config, "config", logger=logger)
@@ -29,7 +32,7 @@ def main():
     elif args.val:
         runner_autoencoder.validate_net(args, config)
     else:
-        runner_autoencoder.run_net(args, config)
+        runner_autoencoder.run_net(args, config, train_writer, val_writer)
 
 
 if __name__ == "__main__":
