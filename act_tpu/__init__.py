@@ -20,3 +20,14 @@ Layer map (see SURVEY.md for the reference analysis this was built to):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when site customization imported jax before this
+# process could set the env var (the config value latches at jax import time).
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

@@ -6,3 +6,5 @@ from act_tpu.models.act import (VisableOnlyMaskTransformer, MaskTransformer,
                                 ACT_PointDistillation, ACT_PointBERT)
 from act_tpu.models.point_transformer import (PointTransformer, get_loss_acc,
                                               trainable_mask)
+from act_tpu.models.segmentation import (PartSegTransformer, SemSegTransformer,
+                                         nll_seg_loss)
