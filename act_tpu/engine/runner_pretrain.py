@@ -139,6 +139,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
     print_log(f"[PRETRAIN] {config.model.NAME}: {steps_per_epoch} steps/epoch, "
               f"{int(config.max_epoch)} epochs, mesh={mesh.shape}", logger=logger)
 
+    from act_tpu.utils.profiling import TraceContext
+    trace = TraceContext()
     max_steps = 2 if smoke else None
     n_step = 0
     for epoch in range(start_epoch, int(config.max_epoch)):
@@ -152,6 +154,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
             pts = shard_batch(mesh, jnp.asarray(pts))
             state, metrics = train_step(state, pts, root_key)
             n_step += 1
+            trace.step(n_step)
             loss = float(metrics["loss"])
             meters.update([loss])
             batch_time.update(time.time() - tic)
@@ -188,6 +191,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
             ckpt_lib.save_checkpoint(state, epoch, None,
                                      best_metrics.state_dict(),
                                      f"ckpt-epoch-{epoch:03d}", args, logger)
+    trace.close()
     return state
 
 

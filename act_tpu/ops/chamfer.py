@@ -109,7 +109,10 @@ def _nn_pallas(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def _nn_dense(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     d = ref_ops.square_distance(x, y)
-    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+    # the expanded form can go slightly negative for near-identical points;
+    # clamp so downstream sqrt never NaNs
+    return (jnp.maximum(jnp.min(d, axis=-1), 0.0),
+            jnp.argmin(d, axis=-1).astype(jnp.int32))
 
 
 def _nearest(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:

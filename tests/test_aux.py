@@ -1,0 +1,114 @@
+"""Aux subsystem tests: writers, collectives, few-shot generator, profiling,
+misc point-cloud helpers, metrics."""
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from act_tpu.utils.writer import get_writer, collect_env
+from act_tpu.utils.profiling import TraceContext, StepTimer
+from act_tpu.utils.metrics import Metrics
+from act_tpu.utils import misc
+from act_tpu.parallel import reduce_mean_scalar, gather_concat
+
+
+class TestWriterEnv:
+    def test_writer_scalars(self, tmp_path):
+        w = get_writer(str(tmp_path / "tb"))
+        w.add_scalar("Loss/Batch/Loss", 1.0, 0)
+        w.close()
+
+    def test_collect_env(self):
+        env = collect_env()
+        assert "JAX" in env and "backend" in env
+
+
+class TestCollectives:
+    def test_single_process_identity(self):
+        assert reduce_mean_scalar(3.5) == 3.5
+        arr = np.arange(6).reshape(3, 2)
+        np.testing.assert_array_equal(gather_concat(arr), arr)
+
+
+class TestFewShotGenerator:
+    def test_generates_folds(self, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from tools.generate_few_shot_data import generate_fewshot_data
+        # build a fake ModelNet FPS cache
+        rng = np.random.default_rng(0)
+        pts = [rng.normal(size=(64, 3)).astype(np.float32) for _ in range(80)]
+        labels = [np.array([i % 8]) for i in range(80)]
+        for split in ("train", "test"):
+            with open(tmp_path / f"modelnet40_{split}_8192pts_fps.dat", "wb") as f:
+                pickle.dump((pts, labels), f)
+        generate_fewshot_data(str(tmp_path), str(tmp_path / "fs"), way=5,
+                              shot=3, num_folds=2, eval_shot=4)
+        with open(tmp_path / "fs" / "5way_3shot" / "0.pkl", "rb") as f:
+            ds = pickle.load(f)
+        assert len(ds["train"]) == 15
+        assert len(ds["test"]) == 20
+        labels_seen = {l for _, l, _ in ds["train"]}
+        assert labels_seen == set(range(5))
+
+
+class TestProfiling:
+    def test_trace_noop_without_env(self):
+        t = TraceContext()
+        for i in range(20):
+            t.step(i)
+        t.close()
+
+    def test_step_timer(self):
+        t = StepTimer()
+        t.data_loaded()
+        t.step_done()
+        assert "BatchTime" in t.summary()
+
+
+class TestMiscHelpers:
+    def test_separate_point_cloud_shapes(self, rng):
+        pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+        keep, crop = misc.separate_point_cloud(jax.random.PRNGKey(0), pts, 64, 16)
+        assert keep.shape == (2, 48, 3)
+        assert crop.shape == (2, 16, 3)
+
+    def test_random_subsample(self, rng):
+        pts = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+        out = misc.random_subsample(jax.random.PRNGKey(0), pts, 8)
+        assert out.shape == (2, 8, 3)
+
+    def test_cosine_anneal_endpoints(self):
+        assert abs(misc.cosine_anneal(0, 1.0, 0.0625, 100) - 1.0) < 1e-6
+        assert abs(misc.cosine_anneal(100, 1.0, 0.0625, 100) - 0.0625) < 1e-6
+        assert abs(misc.cosine_anneal(1000, 1.0, 0.0625, 100) - 0.0625) < 1e-6
+
+    def test_ptcloud_img(self, rng):
+        img = misc.get_ptcloud_img(rng.normal(size=(64, 3)))
+        assert img.ndim == 3 and img.shape[2] == 3
+
+    def test_summary_parameters(self):
+        params = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(5)}}
+        mask = {"a": True, "b": {"c": False}}
+        total, trained = misc.summary_parameters(params, mask)
+        assert total == 11 and trained == 6
+
+
+class TestMetrics:
+    def test_identical_clouds(self, rng):
+        pc = rng.normal(size=(64, 3)).astype(np.float32)
+        f, cdl1, cdl2 = Metrics.get(pc, pc)
+        assert f == 1.0
+        assert cdl1 < 1e-3 and cdl2 < 1e-3
+
+    def test_better_than_direction(self):
+        a = Metrics("CDL1", {"CDL1": 1.0})
+        b = Metrics("CDL1", {"CDL1": 2.0})
+        assert a.better_than(b) and not b.better_than(a)
+        f1 = Metrics("F-Score", {"F-Score": 0.9})
+        f2 = Metrics("F-Score", {"F-Score": 0.5})
+        assert f1.better_than(f2)
+        assert a.better_than(None)
