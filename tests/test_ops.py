@@ -140,7 +140,8 @@ class TestChamferVJP:
 
     def test_identical_clouds_zero(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 32, 3)).astype(np.float32))
-        assert float(ops.chamfer_distance_l2(x, x)) < 1e-8
+        # expanded-form distances carry ~1e-7 cancellation noise
+        assert float(ops.chamfer_distance_l2(x, x)) < 1e-6
 
 
 @pytest.mark.pallas
