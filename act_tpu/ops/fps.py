@@ -89,11 +89,85 @@ def _fps_pallas(points: jax.Array, n_samples: int) -> jax.Array:
     return out[:, 0, :n_samples]
 
 
+def _fps_kernel_batched(n_points: int, n_samples: int,
+                        x_ref, y_ref, z_ref, out_ref, dist_ref):
+    """Batch-vectorized FPS: a chunk of rows lives in the sublane axis and every
+    per-step operation (distance update, row-wise argmax, center extraction via
+    one-hot reduction, index write) is a full-width VPU op. The S-step loop is
+    the only sequential dependency — S iterations total per chunk, vs S*rows
+    grid steps for the row-at-a-time kernel.
+
+    x/y/z_ref: (Bc, Npad) f32; out_ref: (Bc, Spad) int32;
+    dist_ref: (Bc, Npad) f32 scratch.
+    """
+    bc, npad = x_ref.shape
+    spad = out_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bc, npad), 1)
+    slane = jax.lax.broadcasted_iota(jnp.int32, (bc, spad), 1)
+    valid = lane < n_points
+
+    x, y, z = x_ref[:], y_ref[:], z_ref[:]
+    dist_ref[:] = jnp.where(valid, jnp.float32(3.4e38), jnp.float32(-1.0))
+
+    def select_coords(idx_col):
+        onehot = (lane == idx_col).astype(jnp.float32)  # (Bc, Npad)
+        return (jnp.sum(x * onehot, axis=1, keepdims=True),
+                jnp.sum(y * onehot, axis=1, keepdims=True),
+                jnp.sum(z * onehot, axis=1, keepdims=True))
+
+    def body(s, carry):
+        cx, cy, cz, idx_vec = carry
+        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        dmin = jnp.minimum(dist_ref[:], jnp.where(valid, d, jnp.float32(-1.0)))
+        dist_ref[:] = dmin
+        nxt = jnp.argmax(dmin, axis=1).astype(jnp.int32)[:, None]  # (Bc, 1)
+        idx_vec = jnp.where(slane == s, nxt, idx_vec)
+        cx, cy, cz = select_coords(nxt)
+        return cx, cy, cz, idx_vec
+
+    zero = jnp.zeros((bc, 1), jnp.int32)
+    cx, cy, cz = select_coords(zero)
+    init = (cx, cy, cz, jnp.zeros((bc, spad), jnp.int32))
+    _, _, _, idx_vec = jax.lax.fori_loop(1, n_samples, body, init, unroll=False)
+    out_ref[:] = idx_vec
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def _fps_pallas_batched(points: jax.Array, n_samples: int) -> jax.Array:
+    B, N, _ = points.shape
+    npad = round_up(N, 128)
+    spad = round_up(n_samples, 128)
+    # chunk rows so 4 (Bc, Npad) f32 planes stay well under VMEM
+    chunk = max(8, min(256, (4 * 1024 * 1024) // (4 * npad)))
+    chunk = min(chunk, round_up(B, 8))
+    bpad = round_up(B, chunk)
+
+    points = jax.lax.stop_gradient(points).astype(jnp.float32)
+    planes = [jnp.pad(points[:, :, i], ((0, bpad - B), (0, npad - N)))
+              for i in range(3)]
+
+    out = pl.pallas_call(
+        partial(_fps_kernel_batched, N, n_samples),
+        grid=(bpad // chunk,),
+        in_specs=[pl.BlockSpec((chunk, npad), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((chunk, spad), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bpad, spad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((chunk, npad), jnp.float32)],
+        interpret=interpret_flag(),
+    )(*planes)
+    return out[:B, :n_samples]
+
+
 def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
     """points: (B, N, 3) -> (B, n_samples) int32 indices.
 
-    Pallas kernel on TPU; pure-XLA ``fori_loop`` reference elsewhere. The start
-    point is index 0, matching the reference CUDA kernel's deterministic start.
+    Row-grid Pallas kernel on TPU; pure-XLA ``fori_loop`` reference elsewhere.
+    The start point is index 0, matching the reference CUDA kernel's
+    deterministic start. (A batch-in-sublanes variant exists as
+    ``_fps_pallas_batched`` but measures ~8x slower on v5e — Mosaic's per-row
+    lane argmax + one-hot reductions don't vectorize as hoped.)
     """
     if use_pallas():
         return _fps_pallas(points, n_samples)
