@@ -163,6 +163,7 @@ class MaskTransformer(nn.Module):
     consumed via jnp.where — shapes stay static.
     """
     config: Any
+    use_reduce: bool = True
 
     def setup(self):
         cfg = as_cfg(self.config)
@@ -179,7 +180,10 @@ class MaskTransformer(nn.Module):
         self.dtype = dtype_from_cfg(tc)
         self.encoder = GroupEncoder(self.encoder_dims, dtype=self.dtype,
                                     name="encoder")
-        self.reduce_dim = nn.Dense(self.embed_dim, name="reduce_dim")
+        if self.use_reduce:
+            self.reduce_dim = nn.Dense(self.embed_dim, name="reduce_dim")
+        else:
+            self.reduce_dim = lambda x: x
         self.cls_token = self.param("cls_token", nn.initializers.normal(1.0),
                                     (1, 1, self.embed_dim))
         self.mask_token = self.param("mask_token", trunc_normal_init(),
@@ -234,6 +238,13 @@ class MaskTransformer(nn.Module):
         # all-token logits + mask; the caller selects masked positions with
         # jnp.where weights (static shapes)
         return cls_feature, logits, mask
+
+
+class TokenAllMaskTransformer(MaskTransformer):
+    """MaskTransformer variant whose encoder emits embed_dim directly, with no
+    reduce_dim bridge (reference models/act.py:312-529; defined but unused by
+    the registered pretrain models — kept for inventory parity)."""
+    use_reduce: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -366,9 +377,12 @@ class ACT_PointDistillation(nn.Module):
             x_cls = x_shallow = None
         B, V, C = x_vis.shape
 
+        # train=train: the reference's frozen tokenizer sits inside a train-mode
+        # model — prompt dropout + batch-stat BN stay live under no_grad
         teacher_feat = jax.lax.stop_gradient(
             self.dvae_tokenizer.forward_tokenizer_features(
-                neighborhood, center, return_global=True))  # (B, G, C_tok)
+                neighborhood, center, return_global=True,
+                train=train))  # (B, G, C_tok)
 
         vis_idx, mask_idx = split_by_mask(mask, num_mask)
         pos_vis = self.decoder_pos_embed(take_tokens(center, vis_idx))
@@ -463,7 +477,8 @@ class ACT_PointBERT(nn.Module):
         neighborhood, center = ops.group_points(pts, self.num_group,
                                                 self.group_size)
         dvae_label = jax.lax.stop_gradient(
-            self.dvae.forward_tokenizer(neighborhood, center))  # (B, G)
+            self.dvae.forward_tokenizer(neighborhood, center,
+                                        train=train))  # (B, G)
 
         q_cls, logits, mask = self.transformer_q(neighborhood, center, train=train)
         q_cls = _normalize(q_cls, axis=1)

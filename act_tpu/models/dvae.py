@@ -65,21 +65,27 @@ class _DVAEBase(nn.Module):
         feats = self.encoder(neighborhood, train=train)  # B G C
         return self.dgcnn_1(feats, center)  # B G num_tokens
 
-    def forward_tokenizer(self, neighborhood: jax.Array, center: jax.Array
-                          ) -> jax.Array:
+    def forward_tokenizer(self, neighborhood: jax.Array, center: jax.Array,
+                          train: bool = False) -> jax.Array:
         """Hard token ids (BERT-style labels) — reference dvae.py:578-582."""
-        logits = self.encode_logits(neighborhood, center)
+        logits = self.encode_logits(neighborhood, center, train=train)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)  # B G
 
     def forward_tokenizer_features(self, neighborhood: jax.Array, center: jax.Array,
-                                   return_global: bool = True) -> jax.Array:
+                                   return_global: bool = True,
+                                   train: bool = False) -> jax.Array:
         """Distillation targets: hard gumbel sample -> codebook -> teacher ->
-        (optional) dgcnn_2 — reference dvae.py:584-592."""
-        logits = self.encode_logits(neighborhood, center)
+        (optional) dgcnn_2 — reference dvae.py:584-592.
+
+        ``train=True`` reproduces the reference's Stage-II behavior exactly:
+        the frozen tokenizer is a submodule of a model in train mode, so its
+        prompt dropout stays active and its BatchNorms use batch statistics
+        even though no gradient flows (torch.no_grad does not imply eval())."""
+        logits = self.encode_logits(neighborhood, center, train=train)
         soft_one_hot = gumbel_softmax(self.make_rng("gumbel"), logits,
                                       tau=1.0, hard=True)
         sampled = jnp.einsum("bgn,nc->bgc", soft_one_hot, self.codebook)
-        feature = self._teach(sampled, center, deterministic=True)
+        feature = self._teach(sampled, center, deterministic=not train)
         if return_global:
             feature = self.dgcnn_2(feature, center)
         return feature
