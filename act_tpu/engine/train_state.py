@@ -122,6 +122,32 @@ def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_multi_step(train_step: Callable, num_steps: int) -> Callable:
+    """Wrap a jitted train step in a lax.scan over ``num_steps`` stacked batches,
+    so one host dispatch trains K steps.
+
+    The reference dispatches (at least) one CUDA launch per op per step; even a
+    jitted TPU step pays one host round trip per step — ruinous over a tunneled
+    chip (~100ms) and still wasteful (~100us) in production. With scan, host
+    involvement is 1/K per step. Batches: pytree with leading (K, ...) axes.
+    """
+
+    def multi_step(state, stacked_batches, base_key):
+        def body(carry, batch):
+            st = carry
+            if isinstance(batch, (tuple, list)):
+                st, metrics = train_step(st, *batch, base_key)
+            else:
+                st, metrics = train_step(st, batch, base_key)
+            return st, metrics
+
+        state, metrics = jax.lax.scan(body, state, stacked_batches)
+        # return the mean of each metric across the K steps
+        return state, jax.tree_util.tree_map(lambda m: m.mean(axis=0), metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
                           mesh=None) -> Callable:
     """Stage-I dVAE step. temperature/kld_weight enter as traced scalars so the

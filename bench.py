@@ -54,19 +54,29 @@ def measure_throughput(batch: int, steps: int, warmup: int = 3,
     state = replicate(mesh, TrainState.create(variables, tx))
     step = make_pretrain_step(model, transform_fn=T.scale_and_translate,
                               mesh=mesh)
-    pts = shard_batch(mesh, pts)
     key = jax.random.PRNGKey(0)
+
+    # scan K steps per host dispatch (host-loop amortization; see
+    # make_multi_step). Each scanned step consumes its own batch slice.
+    from act_tpu.engine.train_state import make_multi_step
+    K = int(os.environ.get("BENCH_SCAN_STEPS", "8"))
+    multi = make_multi_step(step, K)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    stacked = jnp.asarray(rng.normal(size=(K, batch, 1024, 3)),
+                          dtype=jnp.float32)
+    # scan axis unsharded, per-step batch axis sharded over 'data'
+    stacked = jax.device_put(stacked, NamedSharding(mesh, P(None, "data")))
 
     with mesh:
         for _ in range(warmup):
-            state, metrics = step(state, pts, key)
+            state, metrics = multi(state, stacked, key)
         jax.block_until_ready(metrics["loss"])
         t0 = time.time()
         for _ in range(steps):
-            state, metrics = step(state, pts, key)
+            state, metrics = multi(state, stacked, key)
         jax.block_until_ready(metrics["loss"])
         dt = time.time() - t0
-    return batch * steps / dt
+    return batch * steps * K / dt
 
 
 def cpu_baseline() -> float:

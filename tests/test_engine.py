@@ -148,3 +148,48 @@ class TestRunnerSmoke:
         self._run("main_autoencoder.py", "--config",
                   "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
                   "--exp_name", "ci_smoke", "--smoke")
+
+
+class TestMultiStep:
+    def test_scanned_steps_match_sequential(self):
+        """K scanned steps == K sequential steps (same batches, same rng)."""
+        import __graft_entry__ as ge
+        from act_tpu.engine.train_state import make_multi_step
+        from act_tpu.engine.builder import (build_optimizer,
+                                            freeze_mask_from_paths)
+        from act_tpu.models import MODELS
+        import jax.numpy as jnp
+
+        cfg = ge._pretrain_cfg(tiny=True)
+        model = MODELS.build(cfg)
+        rngs = ge._rngs()
+        K, B = 3, 4
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(K, B, 64, 3)),
+                          jnp.float32)
+        variables = model.init(rngs, pts[0])
+        tcfg = train_cfg()
+        trainable = freeze_mask_from_paths(variables["params"],
+                                           ["dvae_tokenizer"])
+        tx, _ = build_optimizer(tcfg, variables["params"], 10, trainable)
+        from act_tpu.engine.train_state import make_pretrain_step
+        step = make_pretrain_step(model)
+        key = jax.random.PRNGKey(0)
+
+        # the train steps donate their state; give each run its own copies
+        v1 = jax.tree_util.tree_map(jnp.array, variables)
+        v2 = jax.tree_util.tree_map(jnp.array, variables)
+        s1 = TrainState.create(v1, tx)
+        losses = []
+        for k in range(K):
+            s1, m = step(s1, pts[k], key)
+            losses.append(float(m["loss"]))
+
+        s2 = TrainState.create(v2, tx)
+        multi = make_multi_step(step, K)
+        s2, m2 = multi(s2, pts, key)
+        np.testing.assert_allclose(float(m2["loss"]), np.mean(losses),
+                                   rtol=1e-4)
+        # final params identical
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
+        assert max(jax.tree_util.tree_leaves(d)) < 1e-5
