@@ -1,0 +1,53 @@
+"""Convert a reference ACT PyTorch checkpoint (.pth) to an orbax checkpoint.
+
+Usage:
+    python tools/convert_checkpoint.py --src ckpt_act_dvae.pth \
+        --model ACTPromptedDiscreteVAEwithVIT --dst model_zoo/ckpt_act_dvae.orbax
+
+The converted tree matches act_tpu model param layouts (see
+act_tpu/engine/torch_convert.py for the per-layer translations and the
+reference's key surgery). Loadable via --ckpts / dvae_config.ckpt.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+RULES = {
+    "ACTPromptedDiscreteVAEwithVIT": lambda tc: tc.dvae_rules(""),
+    "ACTPromptedDiscreteVAEwithBERT": lambda tc: tc.dvae_rules(""),
+    "DiscreteVAE": lambda tc: tc.dvae_rules(""),
+    "ACT_PointDistillation": lambda tc: tc.act_distillation_rules(),
+    "PointTransformer": lambda tc: tc.point_transformer_rules(),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--src", required=True, help=".pth checkpoint")
+    parser.add_argument("--dst", required=True, help="output orbax dir")
+    parser.add_argument("--model", required=True, choices=sorted(RULES))
+    parser.add_argument("--state_key", default="base_model",
+                        help="top-level key in the torch ckpt")
+    args = parser.parse_args()
+
+    from act_tpu.engine import torch_convert as tc
+    import orbax.checkpoint as ocp
+
+    sd = tc.load_torch_state_dict(args.src, key=args.state_key)
+    print(f"loaded {len(sd)} torch tensors from {args.src}")
+    params, batch_stats = tc.convert_state_dict(sd, RULES[args.model](tc))
+    n = len(tc.__dict__)  # noqa - keep linters quiet
+
+    payload = {"params": params, "batch_stats": batch_stats,
+               "buffers": {}, "opt_state": None, "step": 0, "epoch": 0,
+               "metrics": {}, "best_metrics": {}}
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(args.dst), payload, force=True)
+    print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
