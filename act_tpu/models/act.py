@@ -104,7 +104,8 @@ class VisableOnlyMaskTransformer(nn.Module):
                                      name="pos_embed")
         self.blocks = TransformerEncoder(
             embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
-            drop_path_rate=tc.drop_path_rate, dtype=self.dtype, name="blocks")
+            drop_path_rate=tc.drop_path_rate, dtype=self.dtype,
+            remat=bool(tc.get("remat", False)), name="blocks")
         self.norm = nn.LayerNorm(name="norm")
         self.cls_head = nn.Sequential([
             nn.Dense(self.cls_dim), nn.gelu, nn.Dense(self.cls_dim)])
@@ -527,7 +528,10 @@ class ACT_PointBERT(nn.Module):
         else:
             cutmix_loss = jnp.zeros(())
 
-        # dequeue/enqueue (requires K % B == 0, like the reference)
+        # dequeue/enqueue (requires K % B == 0, like the reference
+        # models/act.py:989)
+        if self.K % B != 0:
+            raise ValueError(f"MoCo queue K={self.K} must divide batch {B}")
         if not self.is_initializing():
             ptr = self.queue_ptr.value
             new_queue = jax.lax.dynamic_update_slice(

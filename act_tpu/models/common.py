@@ -138,17 +138,19 @@ class TransformerEncoder(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     dtype: Any = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, pos: jax.Array, deterministic: bool = True,
                  return_hidden: Sequence[int] = ()) -> Tuple[jax.Array, list]:
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         hidden = []
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         for i in range(self.depth):
-            x = Block(self.num_heads, self.mlp_ratio, self.qkv_bias,
-                      drop=self.drop, attn_drop=self.attn_drop, drop_path=dpr[i],
-                      dtype=self.dtype,
-                      name=f"blocks_{i}")(x + pos, deterministic)
+            x = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
+                          drop=self.drop, attn_drop=self.attn_drop,
+                          drop_path=dpr[i], dtype=self.dtype,
+                          name=f"blocks_{i}")(x + pos, deterministic)
             if i in return_hidden:
                 hidden.append(x)
         return x, hidden
