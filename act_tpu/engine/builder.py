@@ -145,6 +145,9 @@ def dataset_builder(args, dataset_cfg):
     subset = dataset_cfg.others.subset if "others" in dataset_cfg else dataset_cfg.subset
     shuffle = subset == "train"
     bs = int(dataset_cfg.others.bs if "others" in dataset_cfg else dataset_cfg.bs)
+    # config batch sizes are GLOBAL; each process loads its share (the
+    # reference divides per rank at main.py:44-51)
+    bs = max(bs // _jax.process_count(), 1)
     loader = DataLoader(
         dataset, batch_size=bs, shuffle=shuffle, drop_last=shuffle,
         seed=int(getattr(args, "seed", 0) or 0),
