@@ -38,7 +38,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put every array in the batch pytree with the batch axis sharded."""
+    """Place a host-local batch pytree onto the mesh, batch axis sharded.
+
+    Single-process: a plain device_put. Multi-process: each process holds its
+    local slice of the global batch (the loader already shards the index
+    space), so local arrays are assembled into one global array across hosts.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                x, mesh, P(DATA_AXIS)), batch)
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 

@@ -66,8 +66,8 @@ tx, _ = build_optimizer(tcfg, variables["params"], 4, trainable)
 state = TrainState.create(variables, tx)
 
 mesh = make_mesh()  # all devices across both processes
-pts = multihost_utils.host_local_array_to_global_array(
-    pts_local, mesh, P("data"))
+from act_tpu.parallel import shard_batch
+pts = shard_batch(mesh, pts_local)  # the runners' own multi-process path
 step = make_pretrain_step(model, mesh=mesh)
 with mesh:
     state, metrics = step(state, pts, jax.random.PRNGKey(0))
