@@ -235,3 +235,40 @@ class TestPointTransformer:
         variables = model.init(RNGS, pts)
         f = model.apply(variables, pts, method=model.extract_feature)
         assert f.shape == (2, 64)  # 2 * embed_dim
+
+
+class TestBertTeacher:
+    def test_bert_dvae_forward(self, rng):
+        pts = make_points(rng)
+        cfg = tiny_dvae_cfg(NAME="ACTPromptedDiscreteVAEwithBERT")
+        from act_tpu.models import ACTPromptedDiscreteVAEwithBERT
+        model = ACTPromptedDiscreteVAEwithBERT(cfg)
+        variables = model.init(RNGS, pts, 1.0, False)
+        ret = model.apply(variables, pts, 1.0, False, rngs=RNGS)
+        assert ret[3].shape == (2, 16, 8, 3)  # fine
+        # post-LN blocks: teacher params exist with norm1/norm2 inside blocks
+        teach = variables["params"]["visual_embed"]
+        assert "blocks_0" in teach and "norm1" in teach["blocks_0"]
+        assert "norm" not in teach  # no final LN in the bert arch
+
+    def test_shallow_prompt_variant(self, rng):
+        pts = make_points(rng)
+        cfg = tiny_dvae_cfg(NAME="ACTPromptedDiscreteVAEwithVIT",
+                            use_deep_prompt=False)
+        from act_tpu.models import ACTPromptedDiscreteVAEwithVIT
+        model = ACTPromptedDiscreteVAEwithVIT(cfg)
+        variables = model.init(RNGS, pts, 1.0, False)
+        assert "deep_prompt_tokens" not in variables["params"]["visual_embed"]
+        ret = model.apply(variables, pts, 1.0, False, rngs=RNGS)
+        assert np.isfinite(np.asarray(ret[3])).all()
+
+    def test_no_prompt_variant(self, rng):
+        pts = make_points(rng)
+        cfg = tiny_dvae_cfg(NAME="ACTPromptedDiscreteVAEwithVIT",
+                            num_prompt_token=0)
+        from act_tpu.models import ACTPromptedDiscreteVAEwithVIT
+        model = ACTPromptedDiscreteVAEwithVIT(cfg)
+        variables = model.init(RNGS, pts, 1.0, False)
+        assert "visual_prompt_token" not in variables["params"]["visual_embed"]
+        ret = model.apply(variables, pts, 1.0, False, rngs=RNGS)
+        assert np.isfinite(np.asarray(ret[3])).all()
