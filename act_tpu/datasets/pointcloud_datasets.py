@@ -30,11 +30,7 @@ from act_tpu.datasets.synthetic import synthetic_cloud
 from act_tpu.utils.logger import print_log
 
 
-def pc_normalize(pc: np.ndarray) -> np.ndarray:
-    centroid = np.mean(pc, axis=0)
-    pc = pc - centroid
-    m = np.max(np.sqrt(np.sum(pc ** 2, axis=1)))
-    return pc / m
+from act_tpu.utils.misc import pc_normalize  # single shared definition
 
 
 def farthest_point_sample_np(point: np.ndarray, npoint: int) -> np.ndarray:

@@ -47,6 +47,40 @@ def get_kld_weight(config, n_itr: int) -> float:
                          int(k.ntime))
 
 
+def load_teacher_weights(variables, model_cfg, logger=None):
+    """Load the pretrained 2D transformer into the teacher backbone.
+
+    The reference downloads timm/HF weights at build time (models/dvae.py:405);
+    this environment has no egress, so weights come from a local file named by
+    ``model_cfg.teacher_ckpt``: a raw timm/torch state dict (.pth, converted by
+    torch_convert.load_timm_vit) or an orbax dir holding a converted dVAE.
+    Missing file -> loud warning (the cross-modal-teacher premise needs it).
+    """
+    import os
+    if not model_cfg.get("visual_embed_type"):
+        return variables
+    path = model_cfg.get("teacher_ckpt")
+    if not path or not os.path.exists(str(path)):
+        print_log("[AUTOENCODER][WARNING] no teacher_ckpt provided/found — the "
+                  f"frozen '{model_cfg.get('visual_embed_type')}' teacher is "
+                  "RANDOMLY INITIALIZED (set model.teacher_ckpt to a local "
+                  "timm .pth to reproduce the reference)", logger=logger)
+        return variables
+    params = jax.device_get(variables["params"])
+    if str(path).endswith(".pth"):
+        from act_tpu.engine import torch_convert as tc
+        sd = tc.load_torch_state_dict(str(path), key="model")
+        loaded, _ = tc.load_timm_vit(sd, dst="visual_embed", logger=logger)
+        loaded = loaded.get("visual_embed", {})
+    else:
+        payload = ckpt_lib.load_checkpoint(str(path))
+        loaded = payload.get("params", payload).get("visual_embed", {})
+    params["visual_embed"] = ckpt_lib.merge_pretrained(
+        params["visual_embed"], loaded, logger=logger)
+    print_log(f"[AUTOENCODER] loaded teacher weights from {path}", logger=logger)
+    return {**variables, "params": params}
+
+
 def _apply_smoke(config):
     config.max_epoch = 1
     config.total_bs = 8
@@ -81,11 +115,14 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     model = MODELS.build(config.model)
     npoints = int(config.dataset.train.others.npoints)
-    root_key = set_random_seed(args.seed)
+    root_key = set_random_seed(args.seed)  # rank-shifted: data/gumbel streams
+    init_key = jax.random.PRNGKey(args.seed or 0)  # identical across processes
     sample = jnp.zeros((2, npoints, 3), jnp.float32)
-    init_rngs = dict(params=root_key, gumbel=root_key, dropout=root_key,
-                     droppath=root_key, mask=root_key)
+    init_rngs = dict(params=init_key, gumbel=init_key, dropout=init_key,
+                     droppath=init_key, mask=init_key)
     variables = jax.jit(lambda: model.init(init_rngs, sample))()
+
+    variables = load_teacher_weights(variables, config.model, logger)
 
     frozen = []
     if config.model.get("freeze_visual_embed", False):
@@ -154,16 +191,28 @@ def run_net(args, config, train_writer=None, val_writer=None):
     return state
 
 
+_RECON_STEP_CACHE = {}
+
+
+def _get_recon_step(model):
+    """One jitted recon forward per model object — re-jitting per validate call
+    would recompile every epoch."""
+    fn = _RECON_STEP_CACHE.get(id(model))
+    if fn is None:
+        @jax.jit
+        def fn(variables, pts):
+            ret = model.apply(variables, pts, 1.0, True,
+                              rngs=dict(gumbel=jax.random.PRNGKey(0)))
+            return ret[0], ret[1]  # whole_coarse, whole_fine
+        _RECON_STEP_CACHE[id(model)] = fn
+    return fn
+
+
 def validate(model, state, val_loader, epoch, args, config, logger=None,
              max_batches=None):
     """Per-taxonomy Chamfer/F-score table (reference validate, :219-323)."""
     variables = state.variables()
-
-    @jax.jit
-    def recon_step(variables, pts):
-        ret = model.apply(variables, pts, 1.0, True,
-                          rngs=dict(gumbel=jax.random.PRNGKey(0)))
-        return ret[0], ret[1]  # whole_coarse, whole_fine
+    recon_step = _get_recon_step(model)
 
     category_metrics = defaultdict(lambda: AverageMeter(Metrics.names()))
     n_samples = 0
@@ -227,12 +276,8 @@ def dump_reconstructions(model, state, loader, args, logger, max_dumps=20):
     import os
     from act_tpu.utils.misc import get_ptcloud_img
     variables = state.variables()
-
-    @jax.jit
-    def recon_step(variables, pts):
-        ret = model.apply(variables, pts, 1.0, True,
-                          rngs=dict(gumbel=jax.random.PRNGKey(0)))
-        return ret[1]  # whole_fine
+    _full = _get_recon_step(model)
+    recon_step = lambda v, p: _full(v, p)[1]  # whole_fine
 
     vis_dir = os.path.join(args.experiment_path, "vis")
     os.makedirs(vis_dir, exist_ok=True)

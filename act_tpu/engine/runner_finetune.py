@@ -27,15 +27,7 @@ from act_tpu.utils.logger import print_log
 from act_tpu.utils.misc import set_random_seed
 
 
-class AccMetric:
-    def __init__(self, acc: float = 0.0):
-        self.acc = float(acc)
-
-    def better_than(self, other):
-        return self.acc > other.acc
-
-    def state_dict(self):
-        return {"acc": self.acc}
+from act_tpu.utils.meters import AccMetric
 
 
 def _point_all(npoints: int) -> int:
@@ -57,10 +49,12 @@ def _apply_smoke(config):
 def build_state(args, config, logger, steps_per_epoch):
     model = MODELS.build(config.model)
     npoints = int(config.npoints)
-    root_key = set_random_seed(args.seed)
+    root_key = set_random_seed(args.seed)  # rank-shifted: data/augment streams
+    # params must be identical across processes: init from the unshifted seed
+    init_key = jax.random.PRNGKey(args.seed or 0)
     sample = jnp.zeros((2, npoints, 3), jnp.float32)
-    init_rngs = dict(params=root_key, mask=root_key, dropout=root_key,
-                     droppath=root_key)
+    init_rngs = dict(params=init_key, mask=init_key, dropout=init_key,
+                     droppath=init_key)
     variables = jax.jit(lambda: model.init(init_rngs, sample))()
 
     transfer = config.model.get("transfer_type", "full")
@@ -76,6 +70,13 @@ def build_state(args, config, logger, steps_per_epoch):
         merged = ckpt_lib.merge_pretrained(
             jax.device_get(state.params), src, logger=logger)
         state = state.replace(params=merged)
+        # restore BatchNorm running statistics too — evaluating with init
+        # stats (mean 0 / var 1) silently wrecks --test accuracy
+        loaded_bs = loaded.get("batch_stats", {})
+        if loaded_bs:
+            merged_bs = ckpt_lib.merge_pretrained(
+                jax.device_get(state.batch_stats), loaded_bs, logger=logger)
+            state = state.replace(batch_stats=merged_bs)
         print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
     return model, state, schedule, root_key
 
@@ -113,6 +114,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
         return model.apply(variables, pts)
 
     start_epoch, best_metrics = 0, AccMetric(0.0)
+    vote_fn = None
     if args.resume:
         state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
         if best:
@@ -145,8 +147,11 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                          args, logger)
             # vote eval gate (reference :234-242, thresholds 92.1 / 91)
             if getattr(args, "vote", False) and acc.acc > 91.0 and not smoke:
+                if vote_fn is None:
+                    vote_fn = make_vote_logits(model, npoints)
                 vote_acc = validate_vote(model, state, val_loader, npoints,
-                                         root_key, logger, times=10)
+                                         root_key, logger, times=10,
+                                         vote_logits=vote_fn)
                 if vote_acc > best_metrics.acc:
                     ckpt_lib.save_checkpoint(state, epoch,
                                              {"acc": vote_acc},
@@ -183,11 +188,10 @@ def validate(model, state, loader, infer_step, logger) -> AccMetric:
     return AccMetric(oa)
 
 
-def validate_vote(model, state, loader, npoints, root_key, logger,
-                  times: int = 10) -> float:
-    """Mean-logit voting over FPS-subset resamples + scale/translate augment
-    (reference validate_vote, :300-365)."""
-    variables = state.variables()
+def make_vote_logits(model, npoints):
+    """Build the jitted vote forward ONCE — defining it inside validate_vote
+    would recompile the full model on every call (test --vote runs 300 rounds;
+    remote compiles cost minutes each)."""
 
     @jax.jit
     def vote_logits(variables, pts, key):
@@ -195,6 +199,17 @@ def validate_vote(model, state, loader, npoints, root_key, logger,
         p = ops.fps_subsample(pts, _point_all(npoints), npoints, k1)
         p = T.scale_and_translate(k2, p)
         return jax.nn.softmax(model.apply(variables, p), axis=-1)
+
+    return vote_logits
+
+
+def validate_vote(model, state, loader, npoints, root_key, logger,
+                  times: int = 10, vote_logits=None) -> float:
+    """Mean-logit voting over FPS-subset resamples + scale/translate augment
+    (reference validate_vote, :300-365)."""
+    variables = state.variables()
+    if vote_logits is None:
+        vote_logits = make_vote_logits(model, npoints)
 
     correct, total = 0, 0
     for i, (tax, mid, data) in enumerate(loader):
@@ -234,10 +249,11 @@ def test_net(args, config):
         # best-of-N vote rounds (reference test :425-432 runs 300)
         rounds = 2 if smoke else 300
         best = 0.0
+        vote_fn = make_vote_logits(model, npoints)
         for r in range(rounds):
             key = jax.random.fold_in(root_key, r)
             a = validate_vote(model, state, test_loader, npoints, key, logger,
-                              times=10)
+                              times=10, vote_logits=vote_fn)
             best = max(best, a)
             print_log(f"[TEST_VOTE] round {r} acc={a:.4f} best={best:.4f}",
                       logger=logger)

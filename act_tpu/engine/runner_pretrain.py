@@ -27,17 +27,7 @@ from act_tpu.utils.logger import print_log
 from act_tpu.utils.misc import set_random_seed
 
 
-class AccMetric:
-    """Scalar accuracy wrapper with better_than (reference Acc_Metric, :28-45)."""
-
-    def __init__(self, acc: float = 0.0):
-        self.acc = float(acc)
-
-    def better_than(self, other: "AccMetric") -> bool:
-        return self.acc > other.acc
-
-    def state_dict(self):
-        return {"acc": self.acc}
+from act_tpu.utils.meters import AccMetric
 
 
 def evaluate_svm(train_features, train_labels, test_features, test_labels) -> float:
@@ -47,6 +37,50 @@ def evaluate_svm(train_features, train_labels, test_features, test_labels) -> fl
     clf.fit(train_features, train_labels)
     pred = clf.predict(test_features)
     return float(np.sum(test_labels == pred) * 1.0 / pred.shape[0])
+
+
+def load_dvae_ckpt(variables, dvae_cfg, subtree: str, logger=None):
+    """Load the frozen Stage-I dVAE tokenizer weights (reference build_tokenizer,
+    models/act.py:1151-1160 loads dvae_config.ckpt strictly before freezing).
+
+    Accepts an orbax dir (converted via tools/convert_checkpoint.py) or a torch
+    .pth. A missing path is a loud warning, not an error, so data/ckpt-free
+    smoke runs still work — but real pretraining MUST provide it: distilling
+    toward a random tokenizer is meaningless.
+    """
+    import os
+    path = dvae_cfg.get("ckpt") if hasattr(dvae_cfg, "get") else None
+    if not path:
+        print_log("[PRETRAIN][WARNING] dvae_config.ckpt not set — the frozen "
+                  "tokenizer/teacher is RANDOMLY INITIALIZED", logger=logger)
+        return variables
+    if not os.path.exists(path):
+        print_log(f"[PRETRAIN][WARNING] dvae ckpt '{path}' not found — the "
+                  "frozen tokenizer/teacher is RANDOMLY INITIALIZED",
+                  logger=logger)
+        return variables
+    params = jax.device_get(variables["params"])
+    batch_stats = jax.device_get(variables.get("batch_stats", {}))
+    if path.endswith(".pth"):
+        from act_tpu.engine import torch_convert as tc
+        sd = tc.load_torch_state_dict(path)
+        loaded_params, loaded_bs = tc.convert_state_dict(sd, tc.dvae_rules(""),
+                                                         logger=logger)
+    else:
+        payload = ckpt_lib.load_checkpoint(path)
+        loaded_params = payload.get("params", payload)
+        loaded_bs = payload.get("batch_stats", {}) or {}
+    params[subtree] = ckpt_lib.merge_pretrained(params[subtree], loaded_params,
+                                                logger=logger)
+    if batch_stats.get(subtree) and loaded_bs:
+        batch_stats[subtree] = ckpt_lib.merge_pretrained(
+            batch_stats[subtree], loaded_bs, logger=logger)
+    print_log(f"[PRETRAIN] loaded frozen dVAE tokenizer from {path}",
+              logger=logger)
+    out = {**variables, "params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
 
 
 def _apply_smoke(config):
@@ -102,12 +136,26 @@ def run_net(args, config, train_writer=None, val_writer=None):
     model = MODELS.build(config.model)
     npoints = int(config.dataset.train.others.npoints)
     sample = jnp.zeros((2, npoints, 3), jnp.float32)
-    root_key = set_random_seed(args.seed)
-    init_rngs = dict(params=root_key, gumbel=root_key, mask=root_key,
-                     dropout=root_key, droppath=root_key)
+    root_key = set_random_seed(args.seed)  # rank-shifted: data/augment streams
+    # params MUST be identical across processes (they are treated as
+    # replicated) -> init from the unshifted seed
+    init_key = jax.random.PRNGKey(args.seed or 0)
+    init_rngs = dict(params=init_key, gumbel=init_key, mask=init_key,
+                     dropout=init_key, droppath=init_key)
     variables = jax.jit(lambda: model.init(init_rngs, sample))()
 
     is_pointbert = config.model.NAME == "ACT_PointBERT"
+    tokenizer_name = "dvae" if is_pointbert else "dvae_tokenizer"
+    variables = load_dvae_ckpt(variables, config.model.dvae_config,
+                               tokenizer_name, logger)
+    if is_pointbert:
+        # MoCo momentum encoder starts as a copy of the query encoder
+        # (reference models/act.py:939-942)
+        params = dict(variables["params"])
+        params["transformer_k"] = jax.tree_util.tree_map(
+            lambda x: x, params["transformer_q"])
+        variables = {**variables, "params": params}
+
     frozen = ["dvae_tokenizer"] if not is_pointbert else ["dvae", "transformer_k"]
     trainable = engine_builder.freeze_mask_from_paths(variables["params"], frozen)
 

@@ -211,6 +211,24 @@ class MaskTransformer(nn.Module):
         ratio = jax.random.uniform(k1, (), minval=lo, maxval=hi)
         return jax.random.uniform(k2, (B, G)) < ratio
 
+    def random_replace(self, tokens: jax.Array, mask: jax.Array,
+                       noaug: bool):
+        """BERT-style token corruption: with prob replace_pob, a non-masked
+        token is swapped for a random (detached) token from the flattened batch
+        (reference _random_replace, models/act.py:656-684). Returns the
+        corrupted tokens and the overall mask (masked OR replaced) that the
+        token-classification loss covers."""
+        if noaug or self.replace_pob == 0:
+            return tokens, mask
+        B, G, C = tokens.shape
+        k1, k2 = jax.random.split(self.make_rng("mask"))
+        replace = (jax.random.uniform(k1, (B, G)) < self.replace_pob) & ~mask
+        flat = jax.lax.stop_gradient(tokens).reshape(B * G, C)
+        perm = jax.random.permutation(k2, B * G)
+        shuffled = flat[perm].reshape(B, G, C)
+        w = replace[:, :, None].astype(tokens.dtype)
+        return tokens * (1 - w) + shuffled * w, mask | replace
+
     def __call__(self, neighborhood: jax.Array, center: jax.Array,
                  train: bool = False, noaug: bool = False,
                  only_cls_tokens: bool = False, return_all_tokens: bool = True):
@@ -218,6 +236,7 @@ class MaskTransformer(nn.Module):
         mask = self.make_mask(center, noaug)
         tokens = self.encoder(neighborhood, train=train)
         tokens = self.reduce_dim(tokens)
+        tokens, overall_mask = self.random_replace(tokens, mask, noaug)
 
         w = mask[:, :, None].astype(tokens.dtype)
         mask_tok = jnp.broadcast_to(self.mask_token, tokens.shape)
@@ -236,9 +255,10 @@ class MaskTransformer(nn.Module):
         logits = self.lm_head(x[:, 1:])  # (B, G, num_tokens)
         if only_cls_tokens:
             return cls_feature
-        # all-token logits + mask; the caller selects masked positions with
-        # jnp.where weights (static shapes)
-        return cls_feature, logits, mask
+        # all-token logits + overall mask (masked OR replaced positions carry
+        # the token-classification loss, reference models/act.py:722); the
+        # caller selects positions with jnp.where weights (static shapes)
+        return cls_feature, logits, overall_mask
 
 
 class TokenAllMaskTransformer(MaskTransformer):

@@ -77,8 +77,11 @@ def fps_subsample(xyz: jax.Array, n_fps: int, n_out: int, key: jax.Array) -> jax
     """FPS to ``n_fps`` points then a random ``n_out``-subset — the reference's
     finetune-time resampling trick (tools/runner_finetune.py:141-157).
 
-    xyz: (B, N, 3) -> (B, n_out, 3).
+    xyz: (B, N, 3) -> (B, n_out, 3). ``n_fps`` is capped at N like the
+    reference's `if points.size(1) < point_all` guard (:151-152) — FPS beyond N
+    would flood the output with duplicates of point 0.
     """
+    n_fps = min(n_fps, xyz.shape[1])
     idx = furthest_point_sample(xyz, n_fps)  # (B, n_fps)
     pts = gather_points(xyz, idx)
     if n_out == n_fps:

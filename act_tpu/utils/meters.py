@@ -44,3 +44,17 @@ class AverageMeter:
         if self.items is None:
             return _avg(0) if idx is None else _avg(idx)
         return [_avg(i) for i in range(self.n_items)] if idx is None else _avg(idx)
+
+
+class AccMetric:
+    """Scalar accuracy with better_than (reference Acc_Metric,
+    tools/runner_pretrain.py:28-45)."""
+
+    def __init__(self, acc: float = 0.0):
+        self.acc = float(acc)
+
+    def better_than(self, other: "AccMetric") -> bool:
+        return self.acc > other.acc
+
+    def state_dict(self):
+        return {"acc": self.acc}

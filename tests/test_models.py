@@ -272,3 +272,35 @@ class TestBertTeacher:
         assert "visual_prompt_token" not in variables["params"]["visual_embed"]
         ret = model.apply(variables, pts, 1.0, False, rngs=RNGS)
         assert np.isfinite(np.asarray(ret[3])).all()
+
+
+class TestRandomReplace:
+    def test_replace_pob_corrupts_and_extends_mask(self, rng):
+        pts = make_points(rng)
+        cfg = tiny_pretrain_cfg(NAME="ACT_PointBERT", m=0.999, T=0.07, K=8)
+        cfg.transformer_config.mask_ratio = [0.3, 0.3]
+        cfg.transformer_config.replace_pob = 0.5
+        cfg.transformer_config.moco_loss = False
+        cfg.transformer_config.dvae_loss = True
+        cfg.transformer_config.cutmix_loss = False
+        cfg.transformer_config.return_all_tokens = False
+        model = ACT_PointBERT(cfg)
+        variables = model.init(RNGS, pts)
+        (moco, dvae, cutmix), _ = model.apply(
+            variables, pts, rngs=RNGS, mutable=["buffers", "batch_stats"])
+        assert np.isfinite(float(dvae))
+
+    def test_mask_transformer_overall_mask_superset(self, rng):
+        from act_tpu.models.act import MaskTransformer
+        cfg = tiny_pretrain_cfg()
+        cfg.transformer_config.mask_ratio = [0.3, 0.3]
+        cfg.transformer_config.replace_pob = 0.9
+        m = MaskTransformer(cfg)
+        pts = make_points(rng)
+        from act_tpu import ops
+        nbr, center = ops.group_points(pts, 16, 8)
+        variables = m.init(RNGS, nbr, center)
+        _, logits, overall = m.apply(variables, nbr, center, train=True,
+                                     rngs=RNGS, mutable=["batch_stats"])[0]
+        # overall mask should (almost surely) exceed the ~30% base mask
+        assert float(overall.mean()) > 0.35

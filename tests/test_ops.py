@@ -167,3 +167,9 @@ class TestPallasInterpret:
         d_d, i_d = chamfer_mod._nn_dense(x, y)
         np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_d), atol=1e-3)
         np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_d))
+
+    def test_fps_batched_pallas_matches_ref(self, rng):
+        pts = jnp.asarray(rng.normal(size=(3, 200, 3)).astype(np.float32))
+        got = np.asarray(fps_mod._fps_pallas_batched(pts, 16))
+        want = np.asarray(ops.furthest_point_sample_ref(pts, 16))
+        np.testing.assert_array_equal(got, want)
