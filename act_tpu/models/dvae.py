@@ -80,11 +80,17 @@ class _DVAEBase(nn.Module):
         ``train=True`` reproduces the reference's Stage-II behavior exactly:
         the frozen tokenizer is a submodule of a model in train mode, so its
         prompt dropout stays active and its BatchNorms use batch statistics
-        even though no gradient flows (torch.no_grad does not imply eval())."""
+        even though no gradient flows (torch.no_grad does not imply eval()).
+
+        Forward-value identity used for speed: this whole path sits under
+        stop_gradient, and hard gumbel at tau=1 selects argmax(logits + g) —
+        so instead of materializing the (B, G, 8192) softmax + one-hot and the
+        one-hot @ codebook matmul, we gather codebook rows directly."""
         logits = self.encode_logits(neighborhood, center, train=train)
-        soft_one_hot = gumbel_softmax(self.make_rng("gumbel"), logits,
-                                      tau=1.0, hard=True)
-        sampled = jnp.einsum("bgn,nc->bgc", soft_one_hot, self.codebook)
+        u = jax.random.uniform(self.make_rng("gumbel"), logits.shape,
+                               minval=1e-10, maxval=1.0)
+        ids = jnp.argmax(logits - jnp.log(-jnp.log(u)), axis=-1)  # (B, G)
+        sampled = jnp.take(self.codebook, ids, axis=0)  # (B, G, C)
         feature = self._teach(sampled, center, deterministic=not train)
         if return_global:
             feature = self.dgcnn_2(feature, center)
