@@ -194,11 +194,20 @@ def make_vote_logits(model, npoints):
     remote compiles cost minutes each)."""
 
     @jax.jit
-    def vote_logits(variables, pts, key):
-        k1, k2 = jax.random.split(key)
-        p = ops.fps_subsample(pts, _point_all(npoints), npoints, k1)
-        p = T.scale_and_translate(k2, p)
-        return jax.nn.softmax(model.apply(variables, p), axis=-1)
+    def vote_logits(variables, pts, keys):
+        """All vote rounds in one program: scan over per-vote keys, summing
+        softmaxed logits (one dispatch per batch instead of `times`)."""
+
+        def one_vote(acc, key):
+            k1, k2 = jax.random.split(key)
+            p = ops.fps_subsample(pts, _point_all(npoints), npoints, k1)
+            p = T.scale_and_translate(k2, p)
+            return acc + jax.nn.softmax(model.apply(variables, p), axis=-1), None
+
+        # first vote establishes the accumulator shape, scan adds the rest
+        first, _ = one_vote(0.0, keys[0])
+        acc, _ = jax.lax.scan(one_vote, first, keys[1:])
+        return acc
 
     return vote_logits
 
@@ -215,11 +224,8 @@ def validate_vote(model, state, loader, npoints, root_key, logger,
     for i, (tax, mid, data) in enumerate(loader):
         pts, label = data
         pts = jnp.asarray(pts)
-        acc_logits = None
-        for v in range(times):
-            key = jax.random.fold_in(root_key, i * 1000 + v)
-            lg = vote_logits(variables, pts, key)
-            acc_logits = lg if acc_logits is None else acc_logits + lg
+        keys = jax.random.split(jax.random.fold_in(root_key, i), times)
+        acc_logits = vote_logits(variables, pts, keys)
         pred = np.asarray(jnp.argmax(acc_logits, -1))
         correct += int((pred == np.asarray(label)).sum())
         total += len(pred)
