@@ -19,7 +19,8 @@ import numpy as np
 from act_tpu.datasets import transforms as T
 from act_tpu.engine import builder as engine_builder
 from act_tpu.engine import checkpoint as ckpt_lib
-from act_tpu.engine.train_state import TrainState, make_pretrain_step, step_rngs
+from act_tpu.engine.train_state import (TrainState, make_multi_step,
+                                        make_pretrain_step, step_rngs)
 from act_tpu.models import MODELS
 from act_tpu.parallel import make_mesh, shard_batch, is_main_process
 from act_tpu.utils import AverageMeter
@@ -177,6 +178,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
         model, transform_fn=T.scale_and_translate, mesh=mesh,
         loss_is_tuple=is_pointbert,
         ema_momentum=float(config.model.m) if is_pointbert else None)
+    scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    multi_step = (make_multi_step(train_step, scan_steps)
+                  if scan_steps > 1 else None)
 
     # feature-extraction step for the SVM probe
     @jax.jit
@@ -197,11 +201,21 @@ def run_net(args, config, train_writer=None, val_writer=None):
         batch_time = AverageMeter()
         epoch_start = time.time()
         tic = time.time()
+        pending = []  # host-side stack for scanned multi-step dispatch
         for idx, (tax, mid, data) in enumerate(train_loader):
             pts = data[0] if isinstance(data, (tuple, list)) else data
-            pts = shard_batch(mesh, jnp.asarray(pts))
-            state, metrics = train_step(state, pts, root_key)
-            n_step += 1
+            if multi_step is not None:
+                pending.append(np.asarray(pts))
+                if len(pending) < scan_steps:
+                    continue
+                stacked = shard_batch(mesh, jnp.asarray(np.stack(pending)))
+                pending = []
+                state, metrics = multi_step(state, stacked, root_key)
+                n_step += scan_steps
+            else:
+                pts = shard_batch(mesh, jnp.asarray(pts))
+                state, metrics = train_step(state, pts, root_key)
+                n_step += 1
             trace.step(n_step)
             loss = float(metrics["loss"])
             meters.update([loss])

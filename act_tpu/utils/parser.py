@@ -41,6 +41,8 @@ def get_args(argv=None):
     parser.add_argument("--smoke", action="store_true",
                         help="tiny 2-step run (CI / verification)")
     parser.add_argument("--mesh_model_parallel", type=int, default=1)
+    parser.add_argument("--scan_steps", type=int, default=1,
+                        help="train K steps per host dispatch (lax.scan)")
     args = parser.parse_args(argv)
 
     if args.test and args.resume:
