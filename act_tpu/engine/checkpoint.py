@@ -72,6 +72,22 @@ def load_params_into(state, path: str, logger=None):
                          batch_stats=payload.get("batch_stats", state.batch_stats))
 
 
+def strip_student_prefix(src: dict) -> dict:
+    """Lift ``ACT_encoder``/``base_model`` subtrees to the top level — the
+    pytree analog of the reference's load_model_from_ckpt key surgery
+    (models/act.py:841-848: keys starting with 'ACT_encoder.'/'base_model.'
+    have the prefix stripped). A Stage-II pretrain checkpoint roots the
+    student at ACT_encoder/*, while PointTransformer expects encoder/blocks/…
+    at top level; without this, finetune silently trains from random init."""
+    out = {}
+    for k, v in src.items():
+        if k in ("ACT_encoder", "base_model") and isinstance(v, dict):
+            out.update(v)
+        else:
+            out[k] = v
+    return out
+
+
 # ---------------------------------------------------------------------------
 # missing/unexpected key reports (reference utils/checkpoint.py:13-44)
 # ---------------------------------------------------------------------------

@@ -66,7 +66,9 @@ def build_state(args, config, logger, steps_per_epoch):
 
     if getattr(args, "ckpts", None) and not args.resume:
         loaded = ckpt_lib.load_checkpoint(args.ckpts)
-        src = loaded.get("params", loaded)
+        # pretrain ckpts root the student at ACT_encoder/* — strip the prefix
+        # like the reference load_model_from_ckpt (models/act.py:841-848)
+        src = ckpt_lib.strip_student_prefix(loaded.get("params", loaded))
         merged = ckpt_lib.merge_pretrained(
             jax.device_get(state.params), src, logger=logger)
         state = state.replace(params=merged)
@@ -75,7 +77,8 @@ def build_state(args, config, logger, steps_per_epoch):
         loaded_bs = loaded.get("batch_stats", {})
         if loaded_bs:
             merged_bs = ckpt_lib.merge_pretrained(
-                jax.device_get(state.batch_stats), loaded_bs, logger=logger)
+                jax.device_get(state.batch_stats),
+                ckpt_lib.strip_student_prefix(loaded_bs), logger=logger)
             state = state.replace(batch_stats=merged_bs)
         print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
     return model, state, schedule, root_key
@@ -140,13 +143,16 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
         if epoch % args.val_freq == 0:
             acc = validate(model, state, val_loader, infer_step, logger)
-            if acc.better_than(best_metrics):
+            better = acc.better_than(best_metrics)
+            if better:
                 best_metrics = acc
                 ckpt_lib.save_checkpoint(state, epoch, acc.state_dict(),
                                          best_metrics.state_dict(), "ckpt-best",
                                          args, logger)
-            # vote eval gate (reference :234-242, thresholds 92.1 / 91)
-            if getattr(args, "vote", False) and acc.acc > 91.0 and not smoke:
+            # vote eval gate (reference runner_finetune.py:235:
+            # acc > 92.1 or (better and acc > 91))
+            vote_gate = acc.acc > 92.1 or (better and acc.acc > 91.0)
+            if getattr(args, "vote", False) and vote_gate and not smoke:
                 if vote_fn is None:
                     vote_fn = make_vote_logits(model, npoints)
                 vote_acc = validate_vote(model, state, val_loader, npoints,
@@ -216,20 +222,24 @@ def validate_vote(model, state, loader, npoints, root_key, logger,
                   times: int = 10, vote_logits=None) -> float:
     """Mean-logit voting over FPS-subset resamples + scale/translate augment
     (reference validate_vote, :300-365)."""
+    from act_tpu.parallel import gather_concat
     variables = state.variables()
     if vote_logits is None:
         vote_logits = make_vote_logits(model, npoints)
 
-    correct, total = 0, 0
+    preds, labels = [], []
     for i, (tax, mid, data) in enumerate(loader):
         pts, label = data
         pts = jnp.asarray(pts)
         keys = jax.random.split(jax.random.fold_in(root_key, i), times)
         acc_logits = vote_logits(variables, pts, keys)
-        pred = np.asarray(jnp.argmax(acc_logits, -1))
-        correct += int((pred == np.asarray(label)).sum())
-        total += len(pred)
-    acc = correct / max(total, 1) * 100.0
+        preds.append(np.asarray(jnp.argmax(acc_logits, -1)))
+        labels.append(np.asarray(label))
+    # gather across processes before scoring (reference gathers test_pred/
+    # test_label with dist_utils.gather_tensor, runner_finetune.py:347-350)
+    preds = gather_concat(np.concatenate(preds))
+    labels = gather_concat(np.concatenate(labels))
+    acc = float((preds == labels).mean()) * 100.0 if len(preds) else 0.0
     print_log(f"[VOTE] acc = {acc:.4f} ({times} votes)", logger=logger)
     return acc
 

@@ -174,17 +174,39 @@ def run_net(args, config, train_writer=None, val_writer=None):
     elif getattr(args, "start_ckpts", None):
         state = ckpt_lib.load_params_into(state, args.start_ckpts, logger)
 
+    # dataset-dependent pre-transform (reference runner_pretrain.py:129-135):
+    # ShapeNet clouds arrive already subsampled to npoints; ModelNet clouds are
+    # raw 8192-pt and get FPS'd to npoints on device before the augments
+    train_ds_name = str(config.dataset.train.get(
+        "_base_", config.dataset.train).get("NAME", "ShapeNet"))
+    if train_ds_name == "ModelNet":
+        def pretrain_transform(key, pts):
+            from act_tpu import ops
+            pts = ops.gather_points(pts, ops.furthest_point_sample(pts, npoints))
+            return T.scale_and_translate(key, pts)
+    else:
+        pretrain_transform = T.scale_and_translate
+
     train_step = make_pretrain_step(
-        model, transform_fn=T.scale_and_translate, mesh=mesh,
+        model, transform_fn=pretrain_transform, mesh=mesh,
         loss_is_tuple=is_pointbert,
         ema_momentum=float(config.model.m) if is_pointbert else None)
     scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
     multi_step = (make_multi_step(train_step, scan_steps)
                   if scan_steps > 1 else None)
 
-    # feature-extraction step for the SVM probe
+    # feature-extraction step for the SVM probe; FPS to the protocol npoints
+    # first (reference validate, runner_pretrain.py:241,255: misc.fps(points,
+    # npoints)) — probing raw 8192-pt ModelNet clouds would be a different
+    # protocol AND 8x the eval FLOPs
+    val_npoints = int(config.dataset.val.others.npoints) if val_loader else npoints
+
     @jax.jit
     def feat_step(variables, pts):
+        from act_tpu import ops
+        if pts.shape[1] != val_npoints:
+            pts = ops.gather_points(
+                pts, ops.furthest_point_sample(pts, val_npoints))
         return model.apply(variables, pts, noaug=True,
                            rngs=dict(gumbel=root_key, mask=root_key))
 
@@ -232,6 +254,14 @@ def run_net(args, config, train_writer=None, val_writer=None):
                     train_writer.add_scalar("Loss/Batch/LR", lr, int(state.step))
             if max_steps and idx + 1 >= max_steps:
                 break
+        # flush the sub-scan remainder so no batch is dropped and the
+        # step-based LR schedule stays aligned with the epoch loop
+        for pts in pending:
+            sharded = shard_batch(mesh, jnp.asarray(pts))
+            state, metrics = train_step(state, sharded, root_key)
+            n_step += 1
+            meters.update([float(metrics["loss"])])
+        pending = []
         print_log(f"[Epoch {epoch}] EpochTime={time.time() - epoch_start:.3f}s "
                   f"Loss={meters.avg(0):.4f}", logger=logger)
 

@@ -405,6 +405,14 @@ class ACT_PointDistillation(nn.Module):
                 neighborhood, center, return_global=True,
                 train=train))  # (B, G, C_tok)
 
+        if num_mask == 0:
+            # mask_ratio=0: no decoder — distill visible (=all) tokens straight
+            # against the full teacher features (reference models/act.py:
+            # 1238-1241, mask_token is None branch)
+            # (the reference's cls_loss shallow path only exists under the
+            # decoder branch — student_feat_global stays None here, :1246)
+            return self._loss(self.proj_head(x_vis), teacher_feat)
+
         vis_idx, mask_idx = split_by_mask(mask, num_mask)
         pos_vis = self.decoder_pos_embed(take_tokens(center, vis_idx))
         pos_mask = self.decoder_pos_embed(take_tokens(center, mask_idx))

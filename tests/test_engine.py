@@ -116,6 +116,32 @@ class TestCheckpoint:
         np.testing.assert_allclose(merged["a"]["w"], 1.0)
         np.testing.assert_allclose(merged["b"], 0.0)
 
+    def test_strip_student_prefix_merges_pretrain_into_finetune(self):
+        """A Stage-II pretrain tree (student under ACT_encoder/*) must land in
+        the PointTransformer tree (student at top level) — the transfer chain
+        the reference implements via key surgery (models/act.py:841-848)."""
+        from act_tpu.engine.checkpoint import merge_pretrained, strip_student_prefix
+        pretrain_tree = {
+            "ACT_encoder": {"blocks": {"blocks_0": {"attn": {"qkv": {
+                "kernel": np.ones((4, 12))}}}},
+                "encoder": {"conv1": {"kernel": np.ones((3, 8))}}},
+            "dvae_tokenizer": {"codebook": np.ones((16, 4))},
+            "mask_token": np.ones((1, 1, 4)),
+        }
+        finetune_tree = {
+            "blocks": {"blocks_0": {"attn": {"qkv": {
+                "kernel": np.zeros((4, 12))}}}},
+            "encoder": {"conv1": {"kernel": np.zeros((3, 8))}},
+            "cls_head_finetune": {"kernel": np.zeros((8, 4))},
+        }
+        merged = merge_pretrained(finetune_tree,
+                                  strip_student_prefix(pretrain_tree))
+        np.testing.assert_allclose(
+            merged["blocks"]["blocks_0"]["attn"]["qkv"]["kernel"], 1.0)
+        np.testing.assert_allclose(merged["encoder"]["conv1"]["kernel"], 1.0)
+        # head stays untouched
+        np.testing.assert_allclose(merged["cls_head_finetune"]["kernel"], 0.0)
+
 
 @pytest.mark.slow
 class TestRunnerSmoke:

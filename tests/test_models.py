@@ -175,6 +175,19 @@ class TestACTPretrain:
         loss = model.apply(variables, pts, rngs=RNGS, mutable=["batch_stats"])[0]
         assert np.isfinite(float(loss))
 
+    def test_mask_ratio_zero_no_decoder(self, rng):
+        """mask_ratio=0 distills visible(=all) tokens without a decoder
+        (reference models/act.py:1180-1182,1238-1241)."""
+        pts = make_points(rng)
+        cfg = tiny_pretrain_cfg()
+        cfg.transformer_config.mask_ratio = 0.0
+        model = ACT_PointDistillation(cfg)
+        variables = model.init(RNGS, pts)
+        assert "ACT_decoder" not in variables["params"]
+        assert "mask_token" not in variables["params"]
+        loss = model.apply(variables, pts, rngs=RNGS, mutable=["batch_stats"])[0]
+        assert np.isfinite(float(loss))
+
     def test_forward_eval(self, rng):
         pts = make_points(rng)
         model = ACT_PointDistillation(tiny_pretrain_cfg())
