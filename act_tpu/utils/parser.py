@@ -22,7 +22,9 @@ def get_args(argv=None):
     parser.add_argument("--deterministic", action="store_true",
                         help="fixed PRNG keys everywhere")
     parser.add_argument("--sync_bn", action="store_true",
-                        help="cross-replica BatchNorm stats")
+                        help="cross-replica BatchNorm stats (no-op: GSPMD "
+                             "batch sharding already computes global-batch "
+                             "statistics under jit)")
     parser.add_argument("--exp_name", type=str, default="default")
     parser.add_argument("--start_ckpts", type=str, default=None)
     parser.add_argument("--ckpts", type=str, default=None)

@@ -32,6 +32,17 @@ def main():
     log_args_to_file(args, "args", logger=logger)
     log_config_to_file(config, "config", logger=logger)
 
+    if getattr(args, "sync_bn", False):
+        # SyncBN is implicit here: batches are sharded over the data mesh axis
+        # inside one jitted program, so BatchNorm statistics are computed over
+        # the GLOBAL batch (GSPMD inserts the cross-chip reduction). The flag
+        # is accepted for CLI parity with the reference (--sync_bn wraps the
+        # model in torch SyncBatchNorm, runner_pretrain.py:86-88).
+        from act_tpu.utils.logger import print_log
+        print_log("[ARGS] --sync_bn: BatchNorm stats are global-batch by "
+                  "construction under GSPMD data parallelism; flag is a no-op",
+                  logger=logger)
+
     if args.seed is not None:
         set_random_seed(args.seed, rank_shift=True)
     if args.way != -1 and args.shot != -1:
