@@ -65,8 +65,14 @@ def load_dvae_ckpt(variables, dvae_cfg, subtree: str, logger=None):
     if path.endswith(".pth"):
         from act_tpu.engine import torch_convert as tc
         sd = tc.load_torch_state_dict(path)
-        loaded_params, loaded_bs = tc.convert_state_dict(sd, tc.dvae_rules(""),
-                                                         logger=logger)
+        embed_type = str(dvae_cfg.get("visual_embed_type", "")).lower()
+        name = str(dvae_cfg.get("NAME", "")).lower()
+        arch = ("clip" if embed_type.startswith("clip")
+                else "bert" if "bert" in name else "vit")
+        if arch == "bert":
+            sd = tc.fuse_bert_qkv(sd)
+        loaded_params, loaded_bs = tc.convert_state_dict(
+            sd, tc.dvae_rules("", teacher_arch=arch), logger=logger)
     else:
         payload = ckpt_lib.load_checkpoint(path)
         loaded_params = payload.get("params", payload)

@@ -130,15 +130,39 @@ def folding_decoder_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
     return R
 
 
-def teacher_rules(src_prefix: str, dst: str) -> List[Tuple[str, str, str]]:
-    """Prompted teacher of the dVAE: proj/pos/prompts + timm blocks.
+def clip_block_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """CLIP ResidualAttentionBlock: ``{src}.N.*`` -> ``{dst}/blocks_N/*``.
 
-    torch layout (dvae.py:405-437): visual_embed.0 = timm blocks (Sequential idx),
-    visual_embed.1 = final norm; proj_pre/proj_post/visual_pos_embed/prompts are
-    siblings of visual_embed in the torch module, but children of ``visual_embed``
-    in our flax tree (PromptedTeacher owns them).
-    """
-    p = rf"{src_prefix}" if not src_prefix else rf"{src_prefix}\."
+    torch layout (clip visual.transformer.resblocks.N): ln_1/ln_2, fused
+    attn.in_proj_{weight,bias} + attn.out_proj, mlp.c_fc/mlp.c_proj."""
+    N = r"(\d+)"
+    return [
+        (rf"^{src}\.{N}\.ln_1\.weight$", f"{dst}/blocks_\\1/ln_1/scale", "none"),
+        (rf"^{src}\.{N}\.ln_1\.bias$", f"{dst}/blocks_\\1/ln_1/bias", "none"),
+        (rf"^{src}\.{N}\.ln_2\.weight$", f"{dst}/blocks_\\1/ln_2/scale", "none"),
+        (rf"^{src}\.{N}\.ln_2\.bias$", f"{dst}/blocks_\\1/ln_2/bias", "none"),
+        (rf"^{src}\.{N}\.attn\.in_proj_weight$",
+         f"{dst}/blocks_\\1/attn/qkv/kernel", "linear"),
+        (rf"^{src}\.{N}\.attn\.in_proj_bias$",
+         f"{dst}/blocks_\\1/attn/qkv/bias", "none"),
+        (rf"^{src}\.{N}\.attn\.out_proj\.weight$",
+         f"{dst}/blocks_\\1/attn/proj/kernel", "linear"),
+        (rf"^{src}\.{N}\.attn\.out_proj\.bias$",
+         f"{dst}/blocks_\\1/attn/proj/bias", "none"),
+        (rf"^{src}\.{N}\.mlp\.c_fc\.weight$",
+         f"{dst}/blocks_\\1/c_fc/kernel", "linear"),
+        (rf"^{src}\.{N}\.mlp\.c_fc\.bias$", f"{dst}/blocks_\\1/c_fc/bias", "none"),
+        (rf"^{src}\.{N}\.mlp\.c_proj\.weight$",
+         f"{dst}/blocks_\\1/c_proj/kernel", "linear"),
+        (rf"^{src}\.{N}\.mlp\.c_proj\.bias$",
+         f"{dst}/blocks_\\1/c_proj/bias", "none"),
+    ]
+
+
+def _teacher_shared_rules(p: str, dst: str) -> List[Tuple[str, str, str]]:
+    """proj_pre/proj_post/pos-embed/prompt params common to every teacher arch
+    (reference dvae.py:412-437; siblings of visual_embed in torch, children of
+    our PromptedTeacher in flax)."""
     R = [
         (rf"^{p}proj_pre\.weight$", f"{dst}/proj_pre/kernel", "linear"),
         (rf"^{p}proj_pre\.bias$", f"{dst}/proj_pre/bias", "none"),
@@ -148,21 +172,147 @@ def teacher_rules(src_prefix: str, dst: str) -> List[Tuple[str, str, str]]:
         (rf"^{p}visual_prompt_pos$", f"{dst}/visual_prompt_pos", "none"),
         (rf"^{p}deep_prompt_tokens$", f"{dst}/deep_prompt_tokens", "none"),
         (rf"^{p}deep_prompt_pos$", f"{dst}/deep_prompt_pos", "none"),
-        (rf"^{p}visual_embed\.1\.weight$", f"{dst}/norm/scale", "none"),
-        (rf"^{p}visual_embed\.1\.bias$", f"{dst}/norm/bias", "none"),
-    ]
-    R += [
         (rf"^{p}visual_pos_embed\.0\.weight$", f"{dst}/pos_fc1/kernel", "linear"),
         (rf"^{p}visual_pos_embed\.0\.bias$", f"{dst}/pos_fc1/bias", "none"),
         (rf"^{p}visual_pos_embed\.2\.weight$", f"{dst}/pos_fc2/kernel", "linear"),
         (rf"^{p}visual_pos_embed\.2\.bias$", f"{dst}/pos_fc2/bias", "none"),
     ]
+    return R
+
+
+def clip_teacher_rules(src_prefix: str, dst: str) -> List[Tuple[str, str, str]]:
+    """CLIP teacher inside an ACT checkpoint: visual_embed = Sequential(
+    ln_pre=0, resblocks=1, ln_post=2) — reference dvae.py:396-403."""
+    p = rf"{src_prefix}" if not src_prefix else rf"{src_prefix}\."
+    R = _teacher_shared_rules(p, dst)
+    R += [
+        (rf"^{p}visual_embed\.0\.weight$", f"{dst}/ln_pre/scale", "none"),
+        (rf"^{p}visual_embed\.0\.bias$", f"{dst}/ln_pre/bias", "none"),
+        (rf"^{p}visual_embed\.2\.weight$", f"{dst}/ln_post/scale", "none"),
+        (rf"^{p}visual_embed\.2\.bias$", f"{dst}/ln_post/bias", "none"),
+    ]
+    R += clip_block_rules(rf"{p}visual_embed\.1".replace("\\.\\.", "\\."), dst)
+    return R
+
+
+def fuse_bert_qkv(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pre-pass for HuggingFace BERT layouts: concatenate the separate
+    query/key/value projections of every ``*.attention.self`` into one fused
+    ``*.attention.self.qkv`` tensor (rows stay torch (out,in); the 'linear'
+    transform then yields our (in, 3C) qkv kernel with columns q|k|v, matching
+    Attention's reshape(B,N,3,H,hd) layout)."""
+    out = dict(sd)
+    for k in list(sd):
+        m = re.match(r"^(.*\.attention\.self)\.query\.(weight|bias)$", k)
+        if not m:
+            continue
+        base, kind = m.groups()
+        parts = [sd.get(f"{base}.{n}.{kind}") for n in ("query", "key", "value")]
+        if any(p is None for p in parts):
+            continue
+        out[f"{base}.qkv.{kind}"] = np.concatenate(
+            [np.asarray(p) for p in parts], axis=0)
+        for n in ("query", "key", "value"):
+            out.pop(f"{base}.{n}.{kind}", None)
+    return out
+
+
+def bert_block_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
+    """HF BertLayer: ``{src}.N.*`` -> ``{dst}/blocks_N/*`` (PostLNBlock).
+
+    torch layout (transformers BertModel.encoder.layer.N, reference
+    dvae.py:652-663): attention.self.{query,key,value} (fused by
+    :func:`fuse_bert_qkv` first), attention.output.dense + LayerNorm,
+    intermediate.dense, output.dense + LayerNorm."""
+    N = r"(\d+)"
+    return [
+        (rf"^{src}\.{N}\.attention\.self\.qkv\.weight$",
+         f"{dst}/blocks_\\1/attn/qkv/kernel", "linear"),
+        (rf"^{src}\.{N}\.attention\.self\.qkv\.bias$",
+         f"{dst}/blocks_\\1/attn/qkv/bias", "none"),
+        (rf"^{src}\.{N}\.attention\.output\.dense\.weight$",
+         f"{dst}/blocks_\\1/attn/proj/kernel", "linear"),
+        (rf"^{src}\.{N}\.attention\.output\.dense\.bias$",
+         f"{dst}/blocks_\\1/attn/proj/bias", "none"),
+        (rf"^{src}\.{N}\.attention\.output\.LayerNorm\.weight$",
+         f"{dst}/blocks_\\1/norm1/scale", "none"),
+        (rf"^{src}\.{N}\.attention\.output\.LayerNorm\.bias$",
+         f"{dst}/blocks_\\1/norm1/bias", "none"),
+        (rf"^{src}\.{N}\.intermediate\.dense\.weight$",
+         f"{dst}/blocks_\\1/mlp/fc1/kernel", "linear"),
+        (rf"^{src}\.{N}\.intermediate\.dense\.bias$",
+         f"{dst}/blocks_\\1/mlp/fc1/bias", "none"),
+        (rf"^{src}\.{N}\.output\.dense\.weight$",
+         f"{dst}/blocks_\\1/mlp/fc2/kernel", "linear"),
+        (rf"^{src}\.{N}\.output\.dense\.bias$",
+         f"{dst}/blocks_\\1/mlp/fc2/bias", "none"),
+        (rf"^{src}\.{N}\.output\.LayerNorm\.weight$",
+         f"{dst}/blocks_\\1/norm2/scale", "none"),
+        (rf"^{src}\.{N}\.output\.LayerNorm\.bias$",
+         f"{dst}/blocks_\\1/norm2/bias", "none"),
+    ]
+
+
+def bert_teacher_rules(src_prefix: str, dst: str) -> List[Tuple[str, str, str]]:
+    """BERT teacher inside an ACT checkpoint: visual_embed = Sequential(
+    BertModel.encoder) so blocks live at visual_embed.0.layer.N
+    (reference dvae.py:660-663). Run :func:`fuse_bert_qkv` on the state dict
+    first. BERT has no final LN after the encoder."""
+    p = rf"{src_prefix}" if not src_prefix else rf"{src_prefix}\."
+    R = _teacher_shared_rules(p, dst)
+    R += bert_block_rules(
+        rf"{p}visual_embed\.0\.layer".replace("\\.\\.", "\\."), dst)
+    return R
+
+
+def load_hf_bert(sd: Dict[str, np.ndarray], dst: str = "visual_embed",
+                 logger=None) -> Tuple[dict, dict]:
+    """Convert a raw HuggingFace bert-base state_dict's encoder layers into the
+    teacher subtree (ingesting an official bert-base-uncased checkpoint file,
+    the reference's BertModel.from_pretrained path, dvae.py:660)."""
+    sd = {k[len("bert."):] if k.startswith("bert.") else k: v
+          for k, v in sd.items()}
+    sd = fuse_bert_qkv(sd)
+    return convert_state_dict(sd, bert_block_rules(r"encoder\.layer", dst),
+                              logger=logger)
+
+
+def load_clip_visual(sd: Dict[str, np.ndarray], dst: str = "visual_embed",
+                     logger=None) -> Tuple[dict, dict]:
+    """Convert a raw CLIP model state_dict's visual transformer (ln_pre,
+    resblocks, ln_post) into the teacher subtree (the reference's
+    clip.load(...).visual path, dvae.py:394-403)."""
+    rules = clip_block_rules(r"visual\.transformer\.resblocks", dst) + [
+        (r"^visual\.ln_pre\.weight$", f"{dst}/ln_pre/scale", "none"),
+        (r"^visual\.ln_pre\.bias$", f"{dst}/ln_pre/bias", "none"),
+        (r"^visual\.ln_post\.weight$", f"{dst}/ln_post/scale", "none"),
+        (r"^visual\.ln_post\.bias$", f"{dst}/ln_post/bias", "none")]
+    return convert_state_dict(sd, rules, logger=logger)
+
+
+def teacher_rules(src_prefix: str, dst: str) -> List[Tuple[str, str, str]]:
+    """Prompted teacher of the dVAE: proj/pos/prompts + timm blocks.
+
+    torch layout (dvae.py:405-437): visual_embed.0 = timm blocks (Sequential idx),
+    visual_embed.1 = final norm; proj_pre/proj_post/visual_pos_embed/prompts are
+    siblings of visual_embed in the torch module, but children of ``visual_embed``
+    in our flax tree (PromptedTeacher owns them).
+    """
+    p = rf"{src_prefix}" if not src_prefix else rf"{src_prefix}\."
+    R = _teacher_shared_rules(p, dst)
+    R += [
+        (rf"^{p}visual_embed\.1\.weight$", f"{dst}/norm/scale", "none"),
+        (rf"^{p}visual_embed\.1\.bias$", f"{dst}/norm/bias", "none"),
+    ]
     R += vit_block_rules(rf"{p}visual_embed\.0".replace("\\.\\.", "\\."), dst)
     return R
 
 
-def dvae_rules(prefix: str = "") -> List[Tuple[str, str, str]]:
-    """Full (prompted) DiscreteVAE. ``prefix``: torch prefix like 'dvae_tokenizer'."""
+def dvae_rules(prefix: str = "", teacher_arch: str = "vit"
+               ) -> List[Tuple[str, str, str]]:
+    """Full (prompted) DiscreteVAE. ``prefix``: torch prefix like
+    'dvae_tokenizer'. ``teacher_arch``: 'vit' (timm), 'clip', or 'bert' —
+    selects the visual_embed key layout (reference dvae.py:394-410,652-663)."""
     p = rf"{re.escape(prefix)}\." if prefix else ""
     d = f"{prefix}/" if prefix else ""
     R = []
@@ -172,7 +322,12 @@ def dvae_rules(prefix: str = "") -> List[Tuple[str, str, str]]:
     R += [(rf"^{p}codebook$", f"{d}codebook", "none")]
     R += folding_decoder_rules((prefix + "." if prefix else "") + "decoder",
                                f"{d}decoder")
-    R += teacher_rules(prefix, f"{d}visual_embed")
+    if teacher_arch == "clip":
+        R += clip_teacher_rules(prefix, f"{d}visual_embed")
+    elif teacher_arch == "bert":
+        R += bert_teacher_rules(prefix, f"{d}visual_embed")
+    else:
+        R += teacher_rules(prefix, f"{d}visual_embed")
     return R
 
 
@@ -228,9 +383,10 @@ def point_transformer_rules() -> List[Tuple[str, str, str]]:
     return R
 
 
-def act_distillation_rules() -> List[Tuple[str, str, str]]:
+def act_distillation_rules(teacher_arch: str = "vit"
+                           ) -> List[Tuple[str, str, str]]:
     R = student_rules("ACT_encoder")
-    R += dvae_rules("dvae_tokenizer")
+    R += dvae_rules("dvae_tokenizer", teacher_arch=teacher_arch)
     R += [
         (r"^mask_token$", "mask_token", "none"),
         (r"^proj_head\.weight$", "proj_head/kernel", "linear"),

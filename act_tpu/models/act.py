@@ -106,7 +106,7 @@ class VisableOnlyMaskTransformer(nn.Module):
             embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=tc.drop_path_rate, dtype=self.dtype,
             remat=bool(tc.get("remat", False)), name="blocks")
-        self.norm = nn.LayerNorm(name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         self.cls_head = nn.Sequential([
             nn.Dense(self.cls_dim), nn.gelu, nn.Dense(self.cls_dim)])
 
@@ -196,7 +196,7 @@ class MaskTransformer(nn.Module):
         self.blocks = TransformerEncoder(
             embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=tc.drop_path_rate, dtype=self.dtype, name="blocks")
-        self.norm = nn.LayerNorm(name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         self.lm_head = nn.Dense(self.num_tokens, name="lm_head")
         self.cls_head = nn.Sequential([
             nn.Dense(self.cls_dim), nn.gelu, nn.Dense(self.cls_dim)])

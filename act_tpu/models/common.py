@@ -22,6 +22,12 @@ from act_tpu.ops import graph_feature_idx, gather_points
 
 Dtype = Any
 
+# torch nn.LayerNorm default eps — flax defaults to 1e-6, which diverges
+# visibly wherever token variance is small (e.g. std-0.02 prompt/cls tokens:
+# sqrt((4e-4+1e-5)/(4e-4+1e-6)) ≈ 1.01 → percent-level drift). All reference
+# modules use the torch default; timm ViT teachers use 1e-6 (teacher.py).
+LN_EPS = 1e-5
+
 
 def dtype_from_cfg(cfg) -> Any:
     """Map a config 'dtype' string to a jnp compute dtype (None = float32)."""
@@ -109,16 +115,17 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     dtype: Any = None
+    ln_eps: float = LN_EPS
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         dim = x.shape[-1]
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.qk_scale,
                       self.attn_drop, self.drop, dtype=self.dtype,
                       name="attn")(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
         h = Mlp(int(dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
                 name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path)(h, deterministic)
@@ -174,7 +181,7 @@ class TransformerDecoder(nn.Module):
             x = Block(self.num_heads, self.mlp_ratio, drop_path=dpr[i],
                       dtype=self.dtype,
                       name=f"blocks_{i}")(x + pos, deterministic)
-        x = nn.LayerNorm(name="norm")(x[:, -return_token_num:])
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x[:, -return_token_num:])
         return x
 
 

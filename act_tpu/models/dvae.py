@@ -151,11 +151,22 @@ class DiscreteVAE(_DVAEBase):
 
 @MODELS.register_module()
 class ACTPromptedDiscreteVAEwithVIT(_DVAEBase):
-    """dVAE with a frozen, deep-prompt-tuned pretrained ViT between the codebook
-    and dgcnn_2 (reference models/dvae.py:360-615; visual_embed_pos=after_dgcnn1)."""
+    """dVAE with a frozen, deep-prompt-tuned pretrained 2D Transformer between
+    the codebook and dgcnn_2 (reference models/dvae.py:360-615;
+    visual_embed_pos=after_dgcnn1). ``visual_embed_type`` selects the teacher
+    family exactly like the reference build_visual_embedding (dvae.py:394-410):
+    'clip_*' -> CLIP visual transformer (pre-LN + ln_pre/ln_post + QuickGELU),
+    anything else -> timm ViT layout. ``visual_embed_dim: none`` disables the
+    teacher entirely (Point-BERT-style tokenizer with the prompted class name).
+    """
 
     def _setup_teacher(self):
         cfg = as_cfg(self.config)
+        if str(cfg.get("visual_embed_dim", "none")) == "none":
+            self.teacher = None  # reference dvae.py:392-393
+            return
+        embed_type = str(cfg.get("visual_embed_type", "vit_base_patch16_224"))
+        arch = "clip" if embed_type.lower().startswith("clip") else "vit"
         self.teacher = PromptedTeacher(
             embed_dim=cfg.visual_embed_dim,
             depth=int(cfg.get("visual_embed_depth", 12)),
@@ -163,7 +174,7 @@ class ACTPromptedDiscreteVAEwithVIT(_DVAEBase):
             tokens_dims=cfg.tokens_dims,
             num_prompt_token=cfg.num_prompt_token,
             use_deep_prompt=cfg.use_deep_prompt,
-            arch="vit",
+            arch=arch,
             dtype=dtype_from_cfg(cfg),
             name="visual_embed",
         )

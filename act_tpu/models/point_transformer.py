@@ -62,7 +62,7 @@ class PointTransformer(nn.Module):
         self.blocks = TransformerEncoder(
             embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
             drop_path_rate=cfg.drop_path_rate, name="blocks")
-        self.norm = nn.LayerNorm(name="norm")
+        self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
 
         if self.transfer_type == "linear":
             self.cls_head_finetune = nn.Dense(self.cls_dim,

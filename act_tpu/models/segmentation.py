@@ -73,7 +73,7 @@ class SegBackbone(nn.Module):
                       name=f"blocks_{i}")(x + pos, deterministic=not train)
             if i in self.fetch_idx:
                 feats.append(x)
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         feats = [norm(f) for f in feats]
         return jnp.concatenate(feats, axis=-1), center  # (B, G, 1152), (B, G, 3)
 

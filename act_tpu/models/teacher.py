@@ -23,21 +23,45 @@ from act_tpu.models.common import Block, Mlp, trunc_normal_init
 
 
 class PostLNBlock(nn.Module):
-    """BERT-style post-LN transformer block (for the BERT teacher variant)."""
+    """BERT-style post-LN transformer block (for the BERT teacher variant).
+    LN eps 1e-12 matches HuggingFace BertConfig.layer_norm_eps."""
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = None
+    ln_eps: float = 1e-12
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         from act_tpu.models.common import Attention
         h = Attention(self.num_heads, qkv_bias=True, dtype=self.dtype,
                       name="attn")(x, deterministic)
-        x = nn.LayerNorm(name="norm1")(x + h)
+        x = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x + h)
         h = Mlp(int(x.shape[-1] * self.mlp_ratio), dtype=self.dtype,
                 name="mlp")(x, deterministic)
-        x = nn.LayerNorm(name="norm2")(x + h)
+        x = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x + h)
         return x
+
+
+class CLIPBlock(nn.Module):
+    """CLIP ResidualAttentionBlock: pre-LN, fused in_proj attention, QuickGELU
+    MLP (the reference reaches these via clip.load(...).visual.transformer
+    .resblocks, models/dvae.py:394-403). Submodule names mirror CLIP's
+    checkpoint keys (ln_1/ln_2/attn/c_fc/c_proj) for the converter."""
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from act_tpu.models.common import Attention
+        dim = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        x = x + Attention(self.num_heads, qkv_bias=True, dtype=self.dtype,
+                          name="attn")(h, deterministic)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        h = nn.Dense(dim * 4, dtype=self.dtype, name="c_fc")(h)
+        h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
+        h = nn.Dense(dim, dtype=self.dtype, name="c_proj")(h)
+        return x + h
 
 
 class PromptedTeacher(nn.Module):
@@ -45,8 +69,13 @@ class PromptedTeacher(nn.Module):
     layer, prompts re-spliced per layer when deep) -> final LN -> strip prompts ->
     proj_post.
 
-    arch: 'vit' (pre-LN, qkv bias, final LayerNorm — timm ViT-B layout) or
-    'bert' (post-LN blocks).
+    arch: 'vit' (pre-LN, qkv bias, final LayerNorm — timm ViT-B layout),
+    'clip' (ln_pre before the stack, QuickGELU resblocks, ln_post after —
+    CLIP visual-transformer layout, reference models/dvae.py:394-403,500-534;
+    we implement the *intended* per-sample attention semantics: the reference's
+    deep-prompt CLIP path omits the NLD->LND transpose, which would make torch
+    MultiheadAttention attend across the batch dim) or
+    'bert' (post-LN blocks, no final LN).
     """
     embed_dim: int = 768        # teacher width (visual_embed_dim)
     depth: int = 12
@@ -62,8 +91,12 @@ class PromptedTeacher(nn.Module):
         if self.arch == "bert":
             return PostLNBlock(self.num_heads, dtype=self.dtype,
                                name=f"blocks_{i}")
+        if self.arch == "clip":
+            return CLIPBlock(self.num_heads, dtype=self.dtype,
+                             name=f"blocks_{i}")
+        # timm ViT uses LayerNorm eps=1e-6 (vs torch default 1e-5)
         return Block(self.num_heads, qkv_bias=True, dtype=self.dtype,
-                     name=f"blocks_{i}")
+                     ln_eps=1e-6, name=f"blocks_{i}")
 
     @nn.compact
     def __call__(self, tokens: jax.Array, center: jax.Array,
@@ -98,21 +131,40 @@ class PromptedTeacher(nn.Module):
         else:
             x = feature
 
+        if self.arch == "clip":
+            # CLIP's ln_pre is applied to the full [prompt|tokens] sequence
+            # after prompt concat (dvae.py:544-546 via visual_embed[0])
+            x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
+
+        # pos handling per arch: ViT/CLIP add pos at EVERY block input
+        # (dvae.py:510-511,566-573: blk(x + pos)); BERT adds it ONCE at the
+        # encoder input (dvae.py:744: visual_embed(x + pos)[0] — HF BertEncoder
+        # has no per-layer pos hook; the reference's BERT deep-prompt indexing
+        # visual_embed[0][i] is not runnable torch, so for deep prompts we fold
+        # the deep prompt pos into the spliced prompt tokens instead).
+        pos_every_layer = self.arch != "bert"
         for i in range(self.depth):
             if P > 0 and self.use_deep_prompt and i >= 1:
                 # re-splice fresh prompts + prompt pos at every layer
                 # (dvae.py:556-566)
                 dp = jnp.broadcast_to(deep_prompt[i - 1][None],
                                       (B, P, self.embed_dim))
-                x = jnp.concatenate(
-                    [pdrop(dp, deterministic=deterministic), x[:, P:]], axis=1)
-                pos = jnp.concatenate(
-                    [jnp.broadcast_to(deep_pos[i - 1][None],
-                                      (B, P, self.embed_dim)), pos[:, P:]], axis=1)
-            x = self._block(i)(x + pos, deterministic)
+                dpos = jnp.broadcast_to(deep_pos[i - 1][None],
+                                        (B, P, self.embed_dim))
+                dp = pdrop(dp, deterministic=deterministic)
+                if pos_every_layer:
+                    x = jnp.concatenate([dp, x[:, P:]], axis=1)
+                    pos = jnp.concatenate([dpos, pos[:, P:]], axis=1)
+                else:
+                    x = jnp.concatenate([dp + dpos, x[:, P:]], axis=1)
+            if pos_every_layer or i == 0:
+                x = x + pos
+            x = self._block(i)(x, deterministic)
 
         if self.arch == "vit":
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)  # timm eps
+        elif self.arch == "clip":
+            x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x)
         if P > 0:
             x = x[:, P:]
         return nn.Dense(self.tokens_dims, dtype=self.dtype, name="proj_post")(x)
