@@ -358,9 +358,18 @@ def student_rules(prefix: str = "ACT_encoder") -> List[Tuple[str, str, str]]:
     return R
 
 
-def point_transformer_rules() -> List[Tuple[str, str, str]]:
-    """Finetune PointTransformer (head variants)."""
+def point_transformer_rules(head: str = "mlp-3") -> List[Tuple[str, str, str]]:
+    """Finetune PointTransformer. ``head``: 'mlp-3' (default head) or 'linear'
+    — the reference's linear head is Sequential(Linear) so its keys are also
+    cls_head_finetune.0.* and only the head type disambiguates
+    (models/act.py:772-788)."""
     R = student_rules(prefix="")
+    if head == "linear":
+        R.append((r"^cls_head_finetune\.0\.weight$",
+                  "cls_head_finetune/kernel", "linear"))
+        R.append((r"^cls_head_finetune\.0\.bias$",
+                  "cls_head_finetune/bias", "none"))
+        return R
     # mlp-3 head: Sequential 0/1/4/5/8 -> fc1/bn1/fc2/bn2/fc3
     for tsrc, tdst, how in [("0", "fc1", "linear"), ("4", "fc2", "linear"),
                             ("8", "fc3", "linear")]:
@@ -377,9 +386,6 @@ def point_transformer_rules() -> List[Tuple[str, str, str]]:
                   f"BS:cls_head_finetune/{tdst}/mean", "none"))
         R.append((rf"^cls_head_finetune\.{tsrc}\.running_var$",
                   f"BS:cls_head_finetune/{tdst}/var", "none"))
-    # linear head variant
-    R.append((r"^cls_head_finetune\.weight$", "cls_head_finetune/kernel", "linear"))
-    R.append((r"^cls_head_finetune\.bias$", "cls_head_finetune/bias", "none"))
     return R
 
 

@@ -388,6 +388,8 @@ class ACT_PointDistillation(nn.Module):
                                                 self.group_size)
         G = self.num_group
         num_mask = int(self.mask_ratio * G)
+        self.sow("intermediates", "neighborhood", neighborhood)
+        self.sow("intermediates", "center", center)
 
         if self.cls_loss:
             x_vis, x_cls, x_shallow, mask = self.ACT_encoder(
@@ -396,6 +398,7 @@ class ACT_PointDistillation(nn.Module):
         else:
             x_vis, mask = self.ACT_encoder(neighborhood, center, train=train)
             x_cls = x_shallow = None
+        self.sow("intermediates", "mask", mask)
         B, V, C = x_vis.shape
 
         # train=train: the reference's frozen tokenizer sits inside a train-mode

@@ -239,7 +239,8 @@ class _GNConvLReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.GroupNorm(num_groups=4, name="gn")(x)
+        # epsilon: torch nn.GroupNorm default (flax defaults to 1e-6)
+        x = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="gn")(x)
         return nn.leaky_relu(x, negative_slope=0.2)
 
 
@@ -333,6 +334,13 @@ def gumbel_softmax(key: jax.Array, logits: jax.Array, tau: float = 1.0,
     """Gumbel-softmax with optional straight-through hard sampling — the JAX
     equivalent of torch F.gumbel_softmax (used models/dvae.py:346,600)."""
     u = jax.random.uniform(key, logits.shape, minval=1e-10, maxval=1.0)
+    return gumbel_softmax_from_u(u, logits, tau=tau, hard=hard, axis=axis)
+
+
+def gumbel_softmax_from_u(u: jax.Array, logits: jax.Array, tau: float = 1.0,
+                          hard: bool = False, axis: int = -1) -> jax.Array:
+    """Gumbel-softmax from precomputed uniform draws (lets callers sow the
+    noise so equivalence tests can replay the same draw in torch)."""
     g = -jnp.log(-jnp.log(u))
     y = jax.nn.softmax((logits + g) / tau, axis=axis)
     if hard:

@@ -21,7 +21,8 @@ from act_tpu import ops
 from act_tpu.models.build import MODELS
 from act_tpu.utils.config import as_cfg
 from act_tpu.models.common import (DGCNN, FoldingDecoder, GroupEncoder,
-                                   dtype_from_cfg, gumbel_softmax)
+                                   dtype_from_cfg, gumbel_softmax,
+                                   gumbel_softmax_from_u)
 from act_tpu.models.teacher import PromptedTeacher
 
 
@@ -89,6 +90,8 @@ class _DVAEBase(nn.Module):
         logits = self.encode_logits(neighborhood, center, train=train)
         u = jax.random.uniform(self.make_rng("gumbel"), logits.shape,
                                minval=1e-10, maxval=1.0)
+        # sown for the full-graph torch-equivalence tests (no-op in training)
+        self.sow("intermediates", "gumbel_u", u)
         ids = jnp.argmax(logits - jnp.log(-jnp.log(u)), axis=-1)  # (B, G)
         sampled = jnp.take(self.codebook, ids, axis=0)  # (B, G, C)
         feature = self._teach(sampled, center, deterministic=not train)
@@ -100,8 +103,11 @@ class _DVAEBase(nn.Module):
                  hard: bool = False, train: bool = False) -> Tuple[jax.Array, ...]:
         neighborhood, center = ops.group_points(inp, self.num_group, self.group_size)
         logits = self.encode_logits(neighborhood, center, train=train)
-        soft_one_hot = gumbel_softmax(self.make_rng("gumbel"), logits,
-                                      tau=temperature, hard=hard)
+        u = jax.random.uniform(self.make_rng("gumbel"), logits.shape,
+                               minval=1e-10, maxval=1.0)
+        self.sow("intermediates", "gumbel_u", u)
+        soft_one_hot = gumbel_softmax_from_u(u, logits, tau=temperature,
+                                             hard=hard)
         sampled = jnp.einsum("bgn,nc->bgc", soft_one_hot, self.codebook)
         sampled = self._teach(sampled, center, deterministic=not train)
         feature = self.dgcnn_2(sampled, center)

@@ -1,0 +1,443 @@
+"""FULL-GRAPH torch equivalence of the composed Stage-II pretrain model.
+
+The highest-leverage parity test: the complete reference graphs are rebuilt in
+torch in-test with the reference's module/key layout —
+
+- ACT_PointDistillation: masked student + frozen prompted-ViT dVAE teacher +
+  transformer decoder + masked cosine loss (reference models/act.py:1099-1258)
+- the prompted dVAE reconstruction forward (reference models/dvae.py:594-615)
+- PointTransformer classification logits (reference models/act.py:882-910)
+
+— their state dicts are converted with the production rules
+(act_distillation_rules / dvae_rules / point_transformer_rules), and the end
+-to-end outputs are asserted equal under pinned masks/gumbel draws (sown by
+the flax models, replayed on the torch side). Any wiring discrepancy anywhere
+in the composed graphs (mask ordering, per-block pos add, teacher splice
+point, decoder token layout, loss reduction) fails these tests.
+"""
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from act_tpu import ops
+from act_tpu.engine import torch_convert as tc
+from act_tpu.engine.checkpoint import flatten_keys
+from act_tpu.models import ACT_PointDistillation, PointTransformer
+from act_tpu.models.dvae import ACTPromptedDiscreteVAEwithVIT
+from act_tpu.utils.config import ConfigDict
+
+from tests.test_torch_convert import TorchMiniPointNet, to_np
+from tests.test_torch_convert_deep import TorchDGCNN, TorchFolding
+
+# tiny-but-structured dims: reduce_dim exercised (enc != embed), deep prompts
+B, N, G, M = 2, 128, 16, 8
+EMBED, ENC_DIMS, HEADS, DEPTH = 32, 24, 4, 2
+NUM_TOKENS, TOKENS_DIMS, DECODER_DIMS = 32, 24, 24
+TD, TDEPTH, THEADS, P = 48, 2, 4, 4
+MASK_RATIO, DEC_DEPTH = 0.5, 1
+CLS_DIM = 8
+
+
+# ---------------------------------------------------------------------------
+# torch reference modules (reference key layout, eval-mode semantics)
+# ---------------------------------------------------------------------------
+
+class TorchAttn(tnn.Module):
+    def __init__(self, dim, heads, qkv_bias=False):
+        super().__init__()
+        self.qkv = tnn.Linear(dim, dim * 3, bias=qkv_bias)
+        self.proj = tnn.Linear(dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        Bb, Nn, C = x.shape
+        qkv = self.qkv(x).reshape(Bb, Nn, 3, self.heads, C // self.heads)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * (C // self.heads) ** -0.5
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(Bb, Nn, C)
+        return self.proj(x)
+
+
+class TorchMlpBlock(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.fc1 = tnn.Linear(dim, dim * 4)
+        self.fc2 = tnn.Linear(dim * 4, dim)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+class TorchViTBlock(tnn.Module):
+    """Pre-LN block (reference models/act.py:72-90; eps=torch default 1e-5;
+    timm teachers use eps=1e-6)."""
+
+    def __init__(self, dim, heads, qkv_bias=False, eps=1e-5):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=eps)
+        self.attn = TorchAttn(dim, heads, qkv_bias)
+        self.norm2 = tnn.LayerNorm(dim, eps=eps)
+        self.mlp = TorchMlpBlock(dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class TorchEncoderStack(tnn.Module):
+    """TransformerEncoder: pos added at EVERY block input
+    (reference models/act.py:93-112)."""
+
+    def __init__(self, dim, depth, heads):
+        super().__init__()
+        self.blocks = tnn.ModuleList(
+            [TorchViTBlock(dim, heads) for _ in range(depth)])
+
+    def forward(self, x, pos):
+        for blk in self.blocks:
+            x = blk(x + pos)
+        return x
+
+
+class TorchStudent(tnn.Module):
+    """VisableOnlyMaskTransformer minus the RNG: takes the mask as input
+    (reference models/act.py:148-309)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchMiniPointNet(ENC_DIMS)
+        self.reduce_dim = tnn.Linear(ENC_DIMS, EMBED)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.cls_pos = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, EMBED))
+        self.blocks = TorchEncoderStack(EMBED, DEPTH, HEADS)
+        self.norm = tnn.LayerNorm(EMBED)
+        self.cls_head = tnn.Sequential(
+            tnn.Linear(EMBED, CLS_DIM), tnn.GELU(), tnn.Linear(CLS_DIM, CLS_DIM))
+
+    def forward(self, nbr, center, mask):
+        tokens = self.reduce_dim(self.encoder(nbr))  # B G C
+        Bb, Gg, C = tokens.shape
+        x_vis = tokens[~mask].reshape(Bb, -1, C)
+        vis_center = center[~mask].reshape(Bb, -1, 3)
+        pos = self.pos_embed(vis_center)
+        cls_tok = self.cls_token.expand(Bb, -1, -1)
+        cls_pos = self.cls_pos.expand(Bb, -1, -1)
+        x = torch.cat([cls_tok, x_vis], dim=1)
+        pos = torch.cat([cls_pos, pos], dim=1)
+        x = self.norm(self.blocks(x, pos))
+        return x[:, 1:]
+
+
+class TorchDVAE(tnn.Module):
+    """ACTPromptedDiscreteVAEwithVIT: Group encoder -> dgcnn_1 -> gumbel ->
+    codebook -> frozen prompted ViT (deep prompts) -> dgcnn_2 -> FoldingNet
+    (reference models/dvae.py:360-615). Takes gumbel uniforms as input."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchMiniPointNet(ENC_DIMS)
+        self.dgcnn_1 = TorchDGCNN(ENC_DIMS, NUM_TOKENS)
+        self.codebook = tnn.Parameter(torch.randn(NUM_TOKENS, TOKENS_DIMS))
+        self.dgcnn_2 = TorchDGCNN(TOKENS_DIMS, DECODER_DIMS)
+        self.decoder = TorchFolding(DECODER_DIMS, M)
+        # teacher (timm layout: visual_embed = Sequential(blocks, norm))
+        self.proj_pre = tnn.Linear(TOKENS_DIMS, TD)
+        self.visual_pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, TD))
+        self.proj_post = tnn.Linear(TD, TOKENS_DIMS)
+        self.visual_prompt_token = tnn.Parameter(torch.randn(1, P, TD) * 0.02)
+        self.visual_prompt_pos = tnn.Parameter(torch.randn(1, P, TD) * 0.02)
+        self.deep_prompt_tokens = tnn.Parameter(
+            torch.randn(TDEPTH - 1, P, TD) * 0.02)
+        self.deep_prompt_pos = tnn.Parameter(
+            torch.randn(TDEPTH - 1, P, TD) * 0.02)
+        self.visual_embed = tnn.Sequential(
+            tnn.Sequential(*[TorchViTBlock(TD, THEADS, qkv_bias=True, eps=1e-6)
+                             for _ in range(TDEPTH)]),
+            tnn.LayerNorm(TD, eps=1e-6))
+
+    def visual_embedding(self, inp, center):
+        """Deep-prompt teacher forward (reference dvae.py:536-576)."""
+        Bb = inp.shape[0]
+        pos = self.visual_pos_embed(center)
+        feature = self.proj_pre(inp)
+        feature = torch.cat(
+            [self.visual_prompt_token.expand(Bb, -1, -1), feature], dim=1)
+        pos = torch.cat([self.visual_prompt_pos.expand(Bb, -1, -1), pos], dim=1)
+        h = feature
+        for i in range(TDEPTH):
+            if i >= 1:
+                h = torch.cat([self.deep_prompt_tokens[i - 1].expand(Bb, -1, -1),
+                               h[:, P:]], dim=1)
+                pos = torch.cat([self.deep_prompt_pos[i - 1].expand(Bb, -1, -1),
+                                 pos[:, P:]], dim=1)
+            h = self.visual_embed[0][i](h + pos)
+        return self.proj_post(self.visual_embed[1](h)[:, P:])
+
+    def encode_logits(self, nbr, center):
+        return self.dgcnn_1(self.encoder(nbr), center)
+
+    def forward_tokenizer_features(self, nbr, center, u):
+        logits = self.encode_logits(nbr, center)
+        g = -torch.log(-torch.log(u))
+        ids = torch.argmax(logits + g, dim=-1)
+        sampled = self.codebook[ids]
+        feature = self.visual_embedding(sampled, center)
+        return self.dgcnn_2(feature, center)
+
+    def forward(self, nbr, center, u, temperature=1.0):
+        """Soft-gumbel recon forward (reference dvae.py:594-615)."""
+        logits = self.encode_logits(nbr, center)
+        g = -torch.log(-torch.log(u))
+        soft_one_hot = F.softmax((logits + g) / temperature, dim=-1)
+        sampled = torch.einsum("bgn,nc->bgc", soft_one_hot, self.codebook)
+        sampled = self.visual_embedding(sampled, center)
+        feature = self.dgcnn_2(sampled, center)
+        coarse, fine = self.decoder(feature)
+        whole_fine = (fine + center.unsqueeze(2)).reshape(nbr.shape[0], -1, 3)
+        whole_coarse = (coarse + center.unsqueeze(2)).reshape(nbr.shape[0], -1, 3)
+        return whole_coarse, whole_fine, coarse, fine, nbr, logits
+
+
+class TorchDecoderStack(tnn.Module):
+    """TransformerDecoder (reference models/act.py:115-145)."""
+
+    def __init__(self, dim, depth, heads):
+        super().__init__()
+        self.blocks = tnn.ModuleList(
+            [TorchViTBlock(dim, heads) for _ in range(depth)])
+        self.norm = tnn.LayerNorm(dim)
+
+    def forward(self, x, pos, return_token_num):
+        for blk in self.blocks:
+            x = blk(x + pos)
+        return self.norm(x[:, -return_token_num:])
+
+
+class TorchDistill(tnn.Module):
+    """ACT_PointDistillation composed graph (reference models/act.py:1099-1258)."""
+
+    def __init__(self):
+        super().__init__()
+        self.ACT_encoder = TorchStudent()
+        self.dvae_tokenizer = TorchDVAE()
+        self.mask_token = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.decoder_pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, EMBED))
+        self.ACT_decoder = TorchDecoderStack(EMBED, DEC_DEPTH, HEADS)
+        self.proj_head = tnn.Linear(EMBED, TOKENS_DIMS)
+
+    def forward(self, nbr, center, mask, u):
+        x_vis = self.ACT_encoder(nbr, center, mask)
+        Bb, _, C = x_vis.shape
+        with torch.no_grad():
+            teacher_feat = self.dvae_tokenizer.forward_tokenizer_features(
+                nbr, center, u)
+        pos_vis = self.decoder_pos_embed(center[~mask]).reshape(Bb, -1, C)
+        pos_mask = self.decoder_pos_embed(center[mask]).reshape(Bb, -1, C)
+        num_mask = pos_mask.shape[1]
+        mask_tok = self.mask_token.expand(Bb, num_mask, -1)
+        x_full = torch.cat([x_vis, mask_tok], dim=1)
+        pos_full = torch.cat([pos_vis, pos_mask], dim=1)
+        x_rec = self.ACT_decoder(x_full, pos_full, num_mask)
+        student_feat = self.proj_head(x_rec)
+        teacher_masked = teacher_feat[mask].reshape(Bb, -1,
+                                                    student_feat.shape[-1])
+        # cosine loss, reference per-item loop (models/act.py:1244-1254)
+        loss = torch.zeros(())
+        for b in range(Bb):
+            neg = -F.cosine_similarity(student_feat[b], teacher_masked[b],
+                                       dim=-1).mean()
+            loss = loss + (1 + neg)
+        return loss / Bb
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def tiny_distill_cfg():
+    return ConfigDict(dict(
+        NAME="ACT_PointDistillation", loss="cosine",
+        transformer_config=dict(
+            mask_ratio=MASK_RATIO, mask_type="rand", proj="linear",
+            embed_dim=EMBED, encoder_dims=ENC_DIMS, depth=DEPTH,
+            drop_path_rate=0.0, cls_dim=CLS_DIM, replace_pob=0.0,
+            num_heads=HEADS, decoder_depth=DEC_DEPTH, decoder_num_heads=HEADS,
+            return_all_tokens=False, cls_loss=False),
+        dvae_config=dict(
+            NAME="ACTPromptedDiscreteVAEwithVIT", group_size=M, num_group=G,
+            encoder_dims=ENC_DIMS, num_tokens=NUM_TOKENS,
+            tokens_dims=TOKENS_DIMS, decoder_dims=DECODER_DIMS,
+            visual_embed_type="vit_base", visual_embed_dim=TD,
+            visual_embed_depth=TDEPTH, visual_embed_heads=THEADS,
+            visual_embed_pos="after_dgcnn1", freeze_visual_embed=True,
+            num_prompt_token=P, use_deep_prompt=True),
+    ))
+
+
+def assert_tree_covers(flax_params, converted, where="", allow_extra=()):
+    expected = set(flatten_keys(jax.tree_util.tree_map(np.asarray, flax_params)))
+    got = set(flatten_keys(converted))
+    missing = sorted(expected - got)
+    extra = sorted(k for k in got - expected
+                   if not any(k.startswith(p) for p in allow_extra))
+    assert not missing and not extra, (
+        f"{where}: converter tree mismatch missing={missing} extra={extra}")
+
+
+RNGS = dict(params=jax.random.PRNGKey(0), gumbel=jax.random.PRNGKey(11),
+            mask=jax.random.PRNGKey(22), dropout=jax.random.PRNGKey(33),
+            droppath=jax.random.PRNGKey(44))
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+class TestStageIIFullGraph:
+    def test_distillation_loss_matches_torch(self, rng):
+        torch.manual_seed(0)
+        tmodel = TorchDistill().eval()
+        sd = {k: to_np(v) for k, v in tmodel.state_dict().items()}
+        params, batch_stats = tc.convert_state_dict(
+            sd, tc.act_distillation_rules())
+
+        cfg = tiny_distill_cfg()
+        fmodel = ACT_PointDistillation(cfg)
+        pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        variables = fmodel.init(RNGS, pts)
+        # the Stage-II graph never calls the dVAE FoldingNet decoder, so flax
+        # creates no params for it; the torch ckpt carries it unused (the
+        # reference loads the dVAE strictly, models/act.py:1154-1156)
+        assert_tree_covers(variables["params"], params, "ACT_PointDistillation",
+                           allow_extra=("dvae_tokenizer.decoder.",))
+
+        new_vars = {"params": params, "batch_stats": batch_stats}
+        out, inter = fmodel.apply(new_vars, pts, train=False, rngs=RNGS,
+                                  mutable=["intermediates"])
+        ii = inter["intermediates"]
+        mask = np.asarray(ii["mask"][0])
+        u = np.asarray(ii["dvae_tokenizer"]["gumbel_u"][0])
+        nbr = np.asarray(ii["neighborhood"][0])
+        center = np.asarray(ii["center"][0])
+
+        with torch.no_grad():
+            expect = tmodel(torch.from_numpy(nbr), torch.from_numpy(center),
+                            torch.from_numpy(mask), torch.from_numpy(u))
+        got = float(out)
+        np.testing.assert_allclose(got, float(expect), atol=1e-4)
+
+    def test_dvae_recon_forward_matches_torch(self, rng):
+        torch.manual_seed(1)
+        tdvae = TorchDVAE().eval()
+        sd = {k: to_np(v) for k, v in tdvae.state_dict().items()}
+        params, batch_stats = tc.convert_state_dict(sd, tc.dvae_rules(""))
+
+        cfg = tiny_distill_cfg().dvae_config
+        fmodel = ACTPromptedDiscreteVAEwithVIT(cfg)
+        pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        variables = fmodel.init(RNGS, pts)
+        assert_tree_covers(variables["params"], params, "dVAE")
+
+        new_vars = {"params": params, "batch_stats": batch_stats}
+        ret, inter = fmodel.apply(new_vars, pts, 0.7, False, train=False,
+                                  rngs=RNGS, mutable=["intermediates"])
+        whole_coarse, whole_fine, coarse, fine, nbr, logits = ret
+        u = np.asarray(inter["intermediates"]["gumbel_u"][0])
+        center = (np.asarray(whole_fine).reshape(B, G, M, 3)
+                  - np.asarray(fine))[:, :, 0, :]
+
+        with torch.no_grad():
+            e = tdvae(torch.from_numpy(np.asarray(nbr)),
+                      torch.from_numpy(center.astype(np.float32)),
+                      torch.from_numpy(u), temperature=0.7)
+        np.testing.assert_allclose(np.asarray(logits), to_np(e[5]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(whole_coarse), to_np(e[0]),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(whole_fine), to_np(e[1]),
+                                   atol=2e-4)
+
+
+class TorchPointTransformer(tnn.Module):
+    """Finetune classifier (reference models/act.py:727-910, mlp-3 head)."""
+
+    def __init__(self, cls_dim=6):
+        super().__init__()
+        self.encoder = TorchMiniPointNet(ENC_DIMS)
+        self.reduce_dim = tnn.Linear(ENC_DIMS, EMBED)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.cls_pos = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, EMBED))
+        self.blocks = TorchEncoderStack(EMBED, DEPTH, HEADS)
+        self.norm = tnn.LayerNorm(EMBED)
+        self.cls_head_finetune = tnn.Sequential(
+            tnn.Linear(EMBED * 2, 256), tnn.BatchNorm1d(256),
+            tnn.ReLU(inplace=True), tnn.Dropout(0.5),
+            tnn.Linear(256, 256), tnn.BatchNorm1d(256),
+            tnn.ReLU(inplace=True), tnn.Dropout(0.5),
+            tnn.Linear(256, cls_dim))
+
+    def forward(self, nbr, center):
+        tokens = self.reduce_dim(self.encoder(nbr))
+        Bb = tokens.shape[0]
+        cls_tok = self.cls_token.expand(Bb, -1, -1)
+        cls_pos = self.cls_pos.expand(Bb, -1, -1)
+        pos = torch.cat([cls_pos, self.pos_embed(center)], dim=1)
+        x = torch.cat([cls_tok, tokens], dim=1)
+        x = self.norm(self.blocks(x, pos))
+        concat_f = torch.cat([x[:, 0], x[:, 1:].max(1)[0]], dim=-1)
+        return self.cls_head_finetune(concat_f)
+
+
+class TestPointTransformerFullGraph:
+    def test_logits_match_torch(self, rng):
+        torch.manual_seed(2)
+        tmodel = TorchPointTransformer().eval()
+        sd = {k: to_np(v) for k, v in tmodel.state_dict().items()}
+        params, batch_stats = tc.convert_state_dict(
+            sd, tc.point_transformer_rules(head="mlp-3"))
+
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=EMBED, cls_dim=6,
+            num_group=G, group_size=M, encoder_dims=ENC_DIMS, depth=DEPTH,
+            num_heads=HEADS, drop_path_rate=0.0, transfer_type="full",
+            npoints=N))
+        fmodel = PointTransformer(cfg)
+        pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        key = jax.random.PRNGKey(0)
+        variables = fmodel.init(dict(params=key, dropout=key, droppath=key), pts)
+        # torch has no cls_head (pretrain-only) here; assert student trunk +
+        # head coverage
+        assert_tree_covers(variables["params"], params, "PointTransformer")
+
+        got = np.asarray(fmodel.apply(
+            {"params": params, "batch_stats": batch_stats}, pts, train=False))
+
+        nbr, center = ops.group_points(pts, G, M)
+        with torch.no_grad():
+            expect = to_np(tmodel(torch.from_numpy(np.asarray(nbr)),
+                                  torch.from_numpy(np.asarray(center))))
+        np.testing.assert_allclose(got, expect, atol=2e-4)
+
+    def test_linear_head_rules(self, rng):
+        """The reference linear head is Sequential(Linear) -> keys
+        cls_head_finetune.0.* (models/act.py:772-775)."""
+        sd = {"cls_head_finetune.0.weight": np.ones((6, EMBED * 2), np.float32),
+              "cls_head_finetune.0.bias": np.zeros(6, np.float32)}
+        params, _ = tc.convert_state_dict(
+            sd, tc.point_transformer_rules(head="linear"))
+        assert params["cls_head_finetune"]["kernel"].shape == (EMBED * 2, 6)

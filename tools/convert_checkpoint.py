@@ -16,11 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 RULES = {
-    "ACTPromptedDiscreteVAEwithVIT": lambda tc: tc.dvae_rules(""),
-    "ACTPromptedDiscreteVAEwithBERT": lambda tc: tc.dvae_rules(""),
-    "DiscreteVAE": lambda tc: tc.dvae_rules(""),
-    "ACT_PointDistillation": lambda tc: tc.act_distillation_rules(),
-    "PointTransformer": lambda tc: tc.point_transformer_rules(),
+    "ACTPromptedDiscreteVAEwithVIT":
+        lambda tc, a: tc.dvae_rules("", teacher_arch=a.teacher_arch),
+    "ACTPromptedDiscreteVAEwithBERT":
+        lambda tc, a: tc.dvae_rules("", teacher_arch="bert"),
+    "DiscreteVAE": lambda tc, a: tc.dvae_rules(""),
+    "ACT_PointDistillation":
+        lambda tc, a: tc.act_distillation_rules(teacher_arch=a.teacher_arch),
+    "PointTransformer": lambda tc, a: tc.point_transformer_rules(head=a.head),
 }
 
 
@@ -31,6 +34,11 @@ def main():
     parser.add_argument("--model", required=True, choices=sorted(RULES))
     parser.add_argument("--state_key", default="base_model",
                         help="top-level key in the torch ckpt")
+    parser.add_argument("--teacher_arch", default="vit",
+                        choices=["vit", "clip", "bert"],
+                        help="visual_embed layout inside the ckpt")
+    parser.add_argument("--head", default="mlp-3", choices=["mlp-3", "linear"],
+                        help="PointTransformer head variant")
     args = parser.parse_args()
 
     from act_tpu.engine import torch_convert as tc
@@ -38,8 +46,9 @@ def main():
 
     sd = tc.load_torch_state_dict(args.src, key=args.state_key)
     print(f"loaded {len(sd)} torch tensors from {args.src}")
-    params, batch_stats = tc.convert_state_dict(sd, RULES[args.model](tc))
-    n = len(tc.__dict__)  # noqa - keep linters quiet
+    if args.teacher_arch == "bert" or args.model.endswith("withBERT"):
+        sd = tc.fuse_bert_qkv(sd)
+    params, batch_stats = tc.convert_state_dict(sd, RULES[args.model](tc, args))
 
     payload = {"params": params, "batch_stats": batch_stats,
                "buffers": {}, "opt_state": None, "step": 0, "epoch": 0,
