@@ -1,19 +1,36 @@
-"""Host-side batch loader with background prefetch.
+"""Host-side batch loader with background prefetch and process-pool workers.
 
 The TPU-native replacement for torch DataLoader + DistributedSampler
 (tools/builder.py:14-31): numpy collation on the host, per-process sharding of the
 sample index space (process i takes every jax.process_count()-th index, the analog
 of DistributedSampler), drop_last for train, and a double-buffered background
-thread so host IO overlaps device compute. Batches come out as stacked numpy
-arrays ready for device_put/sharding by the train loop.
+thread so host IO overlaps device compute. With ``num_workers > 0`` batches are
+assembled by a persistent fork-based process pool (the torch num_workers analog)
+— needed to keep a real chip fed: one thread reading 42k .npy files/epoch plus
+per-cloud permutation+normalize cannot sustain ~2k clouds/sec. Batches come out
+as stacked numpy arrays ready for device_put/sharding by the train loop.
 """
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from typing import Any, Callable, Iterator, List, Optional
 
 import numpy as np
+
+# process-pool worker state: the dataset is shipped once per worker via the
+# pool initializer (fork context, so this is cheap page-shared memory)
+_WORKER_DS = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _fetch_chunk(chunk):
+    return default_collate([_WORKER_DS[int(i)] for i in chunk])
 
 
 def default_collate(samples: List[Any]):
@@ -35,7 +52,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  num_replicas: int = 1, rank: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,7 +61,33 @@ class DataLoader:
         self.num_replicas = num_replicas
         self.rank = rank
         self.prefetch = prefetch
+        self.num_workers = int(num_workers)
         self.epoch = 0
+        self._pool = None
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            # fork: workers inherit the dataset's file lists/caches without
+            # re-importing jax (spawn would re-open the TPU client in every
+            # worker); workers execute only numpy code
+            ctx = mp.get_context("fork")
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers, mp_context=ctx,
+                initializer=_init_worker, initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -78,7 +121,31 @@ class DataLoader:
             samples = [self.dataset[int(i)] for i in chunk]
             yield default_collate(samples)
 
+    def _batches_mp(self) -> Iterator:
+        """Ordered batches from the worker pool, windowed so at most
+        ~2x num_workers batches are in flight (bounds host memory)."""
+        idx = self._indices()
+        nb = len(self)
+        chunks = (idx[b * self.batch_size:(b + 1) * self.batch_size]
+                  for b in range(nb))
+        pool = self._ensure_pool()
+        window = 2 * self.num_workers + self.prefetch
+        pending: deque = deque()
+        try:
+            for chunk in chunks:
+                pending.append(pool.submit(_fetch_chunk, chunk))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            for f in pending:
+                f.cancel()
+
     def __iter__(self) -> Iterator:
+        if self.num_workers > 0:
+            yield from self._batches_mp()
+            return
         if self.prefetch <= 0:
             yield from self._batches()
             return

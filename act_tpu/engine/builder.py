@@ -148,8 +148,14 @@ def dataset_builder(args, dataset_cfg):
     # config batch sizes are GLOBAL; each process loads its share (the
     # reference divides per rank at main.py:44-51)
     bs = max(bs // _jax.process_count(), 1)
+    # real on-disk datasets get a worker pool (--num_workers, default 8 like
+    # the reference); synthetic fallbacks stay in-process (no IO to hide)
+    workers = int(getattr(args, "num_workers", 0) or 0)
+    if getattr(dataset, "synthetic", False) or getattr(args, "smoke", False):
+        workers = 0
     loader = DataLoader(
         dataset, batch_size=bs, shuffle=shuffle, drop_last=shuffle,
         seed=int(getattr(args, "seed", 0) or 0),
-        num_replicas=_jax.process_count(), rank=_jax.process_index())
+        num_replicas=_jax.process_count(), rank=_jax.process_index(),
+        num_workers=workers)
     return dataset, loader

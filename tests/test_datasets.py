@@ -124,3 +124,80 @@ class TestTransforms:
         for name, fn in transforms.TRANSFORMS.items():
             out = fn(self.key, self.pc)
             assert out.shape == self.pc.shape, name
+
+
+class _NpyDiskDataset:
+    """Realistic per-sample IO: .npy read + random permutation subsample +
+    unit-sphere normalize (the reference ShapeNet __getitem__ recipe,
+    datasets/ShapeNet55Dataset.py:70-108)."""
+
+    def __init__(self, root, n_files, n_points=8192, npoints=1024):
+        import os
+        self.paths = []
+        self.npoints = npoints
+        rng = np.random.default_rng(0)
+        for i in range(n_files):
+            p = os.path.join(root, f"{i:05d}.npy")
+            np.save(p, rng.normal(size=(n_points, 3)).astype(np.float32))
+            self.paths.append(p)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        pts = np.load(self.paths[i])
+        idx = np.random.permutation(pts.shape[0])[:self.npoints]
+        pts = pts[idx]
+        pts = pts - pts.mean(0)
+        pts = pts / np.max(np.linalg.norm(pts, axis=1))
+        return ("Tax", f"m{i}", pts.astype(np.float32))
+
+
+class TestLoaderWorkers:
+    def test_mp_loader_matches_inprocess(self, tmp_path):
+        """Worker-pool batches must equal in-process batches exactly (same
+        index order; per-sample np.random permutation differs, so compare on
+        a deterministic dataset)."""
+
+        class Deterministic:
+            def __len__(self):
+                return 37
+
+            def __getitem__(self, i):
+                return ("T", f"m{i}",
+                        np.full((16, 3), float(i), dtype=np.float32))
+
+        ds = Deterministic()
+        a = DataLoader(ds, batch_size=8, shuffle=True, seed=3, num_workers=0)
+        b = DataLoader(ds, batch_size=8, shuffle=True, seed=3, num_workers=2)
+        a.set_epoch(1), b.set_epoch(1)
+        batches_a = [x for _, _, x in a]
+        batches_b = [x for _, _, x in b]
+        b.close()
+        assert len(batches_a) == len(batches_b)
+        for x, y in zip(batches_a, batches_b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_loader_throughput_with_real_io(self, tmp_path):
+        """Throughput floor with realistic per-sample .npy IO. The bench chip
+        consumes ~1.8-2k clouds/sec; document the margin (DESIGN.md)."""
+        import time
+        ds = _NpyDiskDataset(str(tmp_path), n_files=512)
+        results = {}
+        for workers in (0, 4):
+            loader = DataLoader(ds, batch_size=128, shuffle=False,
+                                num_workers=workers)
+            # warm-up epoch populates the page cache / forks the pool
+            for _ in loader:
+                pass
+            t0 = time.perf_counter()
+            n = 0
+            for _, _, pts in loader:
+                n += pts.shape[0]
+            dt = time.perf_counter() - t0
+            results[workers] = n / dt
+            loader.close()
+        print(f"loader throughput clouds/sec: {results}")
+        # conservative floor — the measured pool rate is far above the
+        # ~2k clouds/sec the chip consumes
+        assert results[4] > 1000, results
