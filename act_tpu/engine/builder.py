@@ -47,6 +47,23 @@ def freeze_mask_from_paths(params, frozen_predicates) -> Any:
     return jtu.tree_map_with_path(trainable, params)
 
 
+def cast_frozen_bf16(params, subtrees) -> Any:
+    """Store a frozen subtree's matmul weights in bf16.
+
+    The frozen teacher/tokenizer never updates, but flax's dtype promotion
+    casts its f32 weights to bf16 on every use (~1.7ms/step profiled for the
+    ViT-B teacher) and reads 2x the bytes from HBM. Norm parameters and all
+    1-D tensors stay f32 (norm statistics precision)."""
+    def cast(path, leaf):
+        p = jtu.keystr(path).lower()
+        if not any(s in p for s in subtrees):
+            return leaf
+        if leaf.ndim < 2 or any(s in p for s in ("norm", "ln_", "bn", "gn")):
+            return leaf
+        return jnp.asarray(leaf, jnp.bfloat16)
+    return jtu.tree_map_with_path(cast, params)
+
+
 # ---------------------------------------------------------------------------
 # schedules
 # ---------------------------------------------------------------------------

@@ -165,6 +165,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     frozen = ["dvae_tokenizer"] if not is_pointbert else ["dvae", "transformer_k"]
     trainable = engine_builder.freeze_mask_from_paths(variables["params"], frozen)
+    if bool(config.model.get("frozen_bf16", True)):
+        # frozen tokenizer/teacher matmul weights in bf16: no per-use f32->
+        # bf16 casts, half the HBM reads (transformer_k stays f32 — its EMA
+        # mixes with f32 query params every step)
+        variables = {**variables, "params": engine_builder.cast_frozen_bf16(
+            variables["params"], [tokenizer_name])}
 
     steps_per_epoch = max(len(train_loader), 1)
     tx, schedule = engine_builder.build_optimizer(

@@ -212,6 +212,25 @@ class PosEmbedMLP(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
+class _ConcatDense(nn.Module):
+    """Dense over concat([g_broadcast, x], -1) computed as two matmuls on the
+    row-split kernel — numerically identical, no concat materialization.
+    Kernel shape/name match a plain Dense over the concatenated input."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, g: jax.Array, x: jax.Array) -> jax.Array:
+        cg, cx = g.shape[-1], x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (cg + cx, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or w.dtype
+        y = jnp.einsum("rmc,cf->rmf", x.astype(dt), w[cg:].astype(dt))
+        yg = jnp.einsum("rc,cf->rf", g.astype(dt), w[:cg].astype(dt))
+        return y + yg[:, None, :] + b.astype(dt)
+
+
 class GroupEncoder(nn.Module):
     """Mini-PointNet over each local group (reference Encoder, models/dvae.py:185-215).
 
@@ -235,9 +254,13 @@ class GroupEncoder(nn.Module):
         x = nn.BatchNorm(name="bn1", **bn)(x)
         x = nn.relu(x)
         x = nn.Dense(256, dtype=self.dtype, name="conv2")(x)
-        g = jnp.max(x, axis=1, keepdims=True)  # (BG, 1, 256)
-        x = jnp.concatenate([jnp.broadcast_to(g, x.shape), x], axis=-1)  # (BG, M, 512)
-        x = nn.Dense(512, dtype=self.dtype, name="conv3")(x)
+        g = jnp.max(x, axis=1)  # (BG, 256)
+        # conv3 over concat([global_bcast, x]) without materializing the
+        # (BG, M, 512) concat (a ~134MB round trip per pass at default
+        # shapes): _ConcatDense splits the kernel rows — first 256 input
+        # channels act on the broadcast global feature, last 256 on x — and
+        # broadcast-adds the global contribution. Param layout unchanged.
+        x = _ConcatDense(512, dtype=self.dtype, name="conv3")(g, x)
         x = nn.BatchNorm(name="bn2", **bn)(x)
         x = nn.relu(x)
         x = nn.Dense(self.encoder_channel, dtype=self.dtype, name="conv4")(x)

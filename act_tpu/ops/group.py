@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from act_tpu.ops.fps import furthest_point_sample
 from act_tpu.ops._backend import use_pallas
-from act_tpu.ops.reference import gather_points, knn_ref, square_distance
+from act_tpu.ops.reference import (gather_coords, gather_points, knn_ref,
+                                   square_distance)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -51,7 +52,7 @@ def group_points(xyz: jax.Array, num_group: int, group_size: int
     center_idx = furthest_point_sample(xyz, num_group)  # (B, G)
     center = gather_points(xyz, center_idx)  # (B, G, 3)
     _, idx = knn(xyz, center, group_size)  # (B, G, M)
-    neighborhood = gather_points(xyz, idx)  # (B, G, M, 3)
+    neighborhood = gather_coords(xyz, idx)  # (B, G, M, 3), Pallas on TPU
     neighborhood = neighborhood - center[:, :, None, :]
     return neighborhood, center
 
@@ -83,7 +84,7 @@ def fps_subsample(xyz: jax.Array, n_fps: int, n_out: int, key: jax.Array) -> jax
     """
     n_fps = min(n_fps, xyz.shape[1])
     idx = furthest_point_sample(xyz, n_fps)  # (B, n_fps)
-    pts = gather_points(xyz, idx)
+    pts = gather_coords(xyz, idx)
     if n_out == n_fps:
         return pts
     B = xyz.shape[0]

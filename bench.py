@@ -50,6 +50,10 @@ def measure_throughput(batch: int, steps: int, warmup: int = 3,
         scheduler=dict(type="CosLR", kwargs=dict(epochs=300, initial_epochs=10)),
         step_per_update=1))
     trainable = freeze_mask_from_paths(variables["params"], ["dvae_tokenizer"])
+    from act_tpu.engine.builder import cast_frozen_bf16
+    variables = {**variables,
+                 "params": cast_frozen_bf16(variables["params"],
+                                            ["dvae_tokenizer"])}
     tx, _ = build_optimizer(train_cfg, variables["params"], 100, trainable)
     state = replicate(mesh, TrainState.create(variables, tx))
     step = make_pretrain_step(model, transform_fn=T.scale_and_translate,

@@ -173,3 +173,32 @@ class TestPallasInterpret:
         got = np.asarray(fps_mod._fps_pallas_batched(pts, 16))
         want = np.asarray(ops.furthest_point_sample_ref(pts, 16))
         np.testing.assert_array_equal(got, want)
+
+
+class TestGatherPallas:
+    def setup_method(self, method):
+        os.environ["ACT_TPU_PALLAS"] = "interpret"
+
+    def teardown_method(self, method):
+        os.environ.pop("ACT_TPU_PALLAS", None)
+
+    def test_gather_matches_take_along_axis(self, rng):
+        from act_tpu.ops.gather import gather_points_pallas
+        import jax.numpy as jnp
+        for (B, N, S, C) in [(2, 777, 300, 3), (3, 1024, 2048, 3),
+                             (2, 129, 256, 6)]:
+            pts = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+            idx = jnp.asarray(rng.integers(0, N, size=(B, S)).astype(np.int32))
+            ref = jnp.take_along_axis(pts, idx[..., None], axis=1)
+            got = gather_points_pallas(pts, idx)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_gather_coords_multidim_idx(self, rng):
+        from act_tpu.ops.reference import gather_coords
+        import jax.numpy as jnp
+        pts = jnp.asarray(rng.normal(size=(2, 512, 3)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 512, size=(2, 64, 32)).astype(np.int32))
+        ref = jnp.take_along_axis(pts, idx.reshape(2, -1)[..., None],
+                                  axis=1).reshape(2, 64, 32, 3)
+        got = gather_coords(pts, idx)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
