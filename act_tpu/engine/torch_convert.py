@@ -57,15 +57,38 @@ def _xform(arr: np.ndarray, how: str) -> np.ndarray:
     return arr
 
 
+def fold_encoder_conv_bias(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold the bias of a conv that is immediately followed by a BatchNorm
+    into that BN's running_mean (rm' = rm - b) and drop the bias key.
+
+    Our GroupEncoder's conv1/conv3 carry no bias (BN mean subtraction absorbs
+    it; see models/common.py) — eval outputs through converted stats stay
+    exact. Applied automatically by :func:`convert_state_dict`."""
+    out = dict(sd)
+    for k in list(sd):
+        m = re.match(r"^(.*\.(?:first|second)_conv)\.1\.running_mean$", k)
+        if not m:
+            continue
+        bias_key = f"{m.group(1)}.0.bias"
+        if bias_key in sd:
+            out[k] = np.asarray(sd[k]) - np.asarray(sd[bias_key])
+            out.pop(bias_key, None)
+    return out
+
+
 # rules shared by every model that embeds the mini-PointNet group encoder
 def encoder_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
-    """torch ``{src}.first_conv/second_conv`` -> flax ``{dst}/conv*/bn*``."""
+    """torch ``{src}.first_conv/second_conv`` -> flax ``{dst}/conv*/bn*``.
+
+    conv1/conv3 (first_conv.0 / second_conv.0) biases are folded into the BN
+    running means by :func:`fold_encoder_conv_bias`, not mapped."""
     R = []
     conv_map = [("first_conv.0", "conv1", "conv1d"), ("first_conv.3", "conv2", "conv1d"),
                 ("second_conv.0", "conv3", "conv1d"), ("second_conv.3", "conv4", "conv1d")]
     for tsrc, tdst, how in conv_map:
         R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/kernel", how))
-        R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
+        if tdst in ("conv2", "conv4"):
+            R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
     for tsrc, tdst in [("first_conv.1", "bn1"), ("second_conv.1", "bn2")]:
         R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/scale", "none"))
         R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
@@ -410,6 +433,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                        rules: List[Tuple[str, str, str]],
                        logger=None) -> Tuple[dict, dict]:
     """Apply rules; returns (params_tree, batch_stats_tree)."""
+    sd = fold_encoder_conv_bias(sd)
     params: dict = {}
     batch_stats: dict = {}
     unmatched = []

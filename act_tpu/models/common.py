@@ -217,6 +217,7 @@ class _ConcatDense(nn.Module):
     row-split kernel — numerically identical, no concat materialization.
     Kernel shape/name match a plain Dense over the concatenated input."""
     features: int
+    use_bias: bool = True
     dtype: Any = None
 
     @nn.compact
@@ -224,11 +225,14 @@ class _ConcatDense(nn.Module):
         cg, cx = g.shape[-1], x.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (cg + cx, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
         dt = self.dtype or w.dtype
         y = jnp.einsum("rmc,cf->rmf", x.astype(dt), w[cg:].astype(dt))
         yg = jnp.einsum("rc,cf->rf", g.astype(dt), w[:cg].astype(dt))
-        return y + yg[:, None, :] + b.astype(dt)
+        y = y + yg[:, None, :]
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(dt)
+        return y
 
 
 class GroupEncoder(nn.Module):
@@ -250,7 +254,13 @@ class GroupEncoder(nn.Module):
         x = point_groups.reshape(B * G, M, 3)
         bn = dict(use_running_average=not train, momentum=self.bn_momentum,
                   axis_name=self.bn_axis_name if train else None)
-        x = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
+        # conv1/conv3 carry no bias: each is immediately followed by a
+        # BatchNorm whose mean subtraction absorbs any constant bias — train
+        # mode is bit-identical, and for converted torch checkpoints the
+        # converter folds the torch bias into bn running_mean (rm' = rm - b,
+        # exact in eval too). Dropping them removes a ~1.5ms/step bias-grad
+        # reduction over the (BG*M, 512) activations.
+        x = nn.Dense(128, use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(name="bn1", **bn)(x)
         x = nn.relu(x)
         x = nn.Dense(256, dtype=self.dtype, name="conv2")(x)
@@ -260,7 +270,8 @@ class GroupEncoder(nn.Module):
         # shapes): _ConcatDense splits the kernel rows — first 256 input
         # channels act on the broadcast global feature, last 256 on x — and
         # broadcast-adds the global contribution. Param layout unchanged.
-        x = _ConcatDense(512, dtype=self.dtype, name="conv3")(g, x)
+        x = _ConcatDense(512, use_bias=False, dtype=self.dtype,
+                         name="conv3")(g, x)
         x = nn.BatchNorm(name="bn2", **bn)(x)
         x = nn.relu(x)
         x = nn.Dense(self.encoder_channel, dtype=self.dtype, name="conv4")(x)
@@ -297,9 +308,18 @@ class DGCNN(nn.Module):
     def __call__(self, f: jax.Array, coor: jax.Array) -> jax.Array:
         # f: (B, G, C) features; coor: (B, G, 3) centers
         idx = graph_feature_idx(coor, coor, k=4)  # (B, G, 4) — static graph
+        B, G, k = idx.shape
+        # feature gather as a one-hot matmul: G is tiny (64-128), so the
+        # (B, G*k, G) one-hot is a few MB and the select runs on the MXU —
+        # XLA's dynamic gather here cost ~1.3ms/step (profiled); it's also
+        # trivially differentiable (transpose is the same matmul). Built once,
+        # reused by all four rounds (the kNN graph is static).
+        onehot = (idx.reshape(B, G * k, 1)
+                  == jnp.arange(G, dtype=idx.dtype)[None, None, :])
 
         def graph_feature(feat):
-            nbr = gather_points(feat, idx)  # (B, G, 4, C)
+            oh = onehot.astype(feat.dtype)
+            nbr = jnp.einsum("bsg,bgc->bsc", oh, feat).reshape(B, G, k, -1)
             self_f = jnp.broadcast_to(feat[:, :, None, :], nbr.shape)
             return jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (B, G, 4, 2C)
 
