@@ -96,7 +96,11 @@ class Attention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 q_keep_from: int = 0) -> jax.Array:
+        """``q_keep_from``: restrict queries (and therefore outputs) to rows
+        [q_keep_from:]; keys/values still cover all rows. Used by the prompted
+        teacher whose leading prompt-row outputs are discarded every layer."""
         B, N, C = x.shape
         head_dim = C // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
@@ -107,13 +111,16 @@ class Attention(nn.Module):
         # slice costs two full layout copies per block on TPU (~0.45ms/layer
         # at teacher shapes, profiled)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, C) each
-        q = q.reshape(B, N, self.num_heads, head_dim)
+        if q_keep_from:
+            q = q[:, q_keep_from:]
+        Nq = q.shape[1]
+        q = q.reshape(B, Nq, self.num_heads, head_dim)
         k = k.reshape(B, N, self.num_heads, head_dim)
         v = v.reshape(B, N, self.num_heads, head_dim)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, Nq, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -132,13 +139,17 @@ class Block(nn.Module):
     ln_eps: float = LN_EPS
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 q_keep_from: int = 0) -> jax.Array:
+        """``q_keep_from > 0``: compute outputs only for rows [q_keep_from:]
+        (attention keys/values still see all rows) — exact when the leading
+        rows' outputs are discarded by the caller (deep-prompt teacher)."""
         dim = x.shape[-1]
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.qk_scale,
                       self.attn_drop, self.drop, dtype=self.dtype,
-                      name="attn")(h, deterministic)
-        x = x + DropPath(self.drop_path)(h, deterministic)
+                      name="attn")(h, deterministic, q_keep_from=q_keep_from)
+        x = x[:, q_keep_from:] + DropPath(self.drop_path)(h, deterministic)
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
         h = Mlp(int(dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
                 name="mlp")(h, deterministic)

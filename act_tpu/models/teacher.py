@@ -31,11 +31,13 @@ class PostLNBlock(nn.Module):
     ln_eps: float = 1e-12
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 q_keep_from: int = 0) -> jax.Array:
         from act_tpu.models.common import Attention
         h = Attention(self.num_heads, qkv_bias=True, dtype=self.dtype,
-                      name="attn")(x, deterministic)
-        x = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x + h)
+                      name="attn")(x, deterministic, q_keep_from=q_keep_from)
+        x = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(
+            x[:, q_keep_from:] + h)
         h = Mlp(int(x.shape[-1] * self.mlp_ratio), dtype=self.dtype,
                 name="mlp")(x, deterministic)
         x = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x + h)
@@ -51,12 +53,14 @@ class CLIPBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 q_keep_from: int = 0) -> jax.Array:
         from act_tpu.models.common import Attention
         dim = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
-        x = x + Attention(self.num_heads, qkv_bias=True, dtype=self.dtype,
-                          name="attn")(h, deterministic)
+        x = x[:, q_keep_from:] + Attention(
+            self.num_heads, qkv_bias=True, dtype=self.dtype,
+            name="attn")(h, deterministic, q_keep_from=q_keep_from)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(dim * 4, dtype=self.dtype, name="c_fc")(h)
         h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
@@ -143,28 +147,44 @@ class PromptedTeacher(nn.Module):
         # visual_embed[0][i] is not runnable torch, so for deep prompts we fold
         # the deep prompt pos into the spliced prompt tokens instead).
         pos_every_layer = self.arch != "bert"
-        for i in range(self.depth):
-            if P > 0 and self.use_deep_prompt and i >= 1:
-                # re-splice fresh prompts + prompt pos at every layer
-                # (dvae.py:556-566)
-                dp = jnp.broadcast_to(deep_prompt[i - 1][None],
-                                      (B, P, self.embed_dim))
-                dpos = jnp.broadcast_to(deep_pos[i - 1][None],
-                                        (B, P, self.embed_dim))
-                dp = pdrop(dp, deterministic=deterministic)
-                if pos_every_layer:
-                    x = jnp.concatenate([dp, x[:, P:]], axis=1)
-                    pos = jnp.concatenate([dpos, pos[:, P:]], axis=1)
-                else:
-                    x = jnp.concatenate([dp + dpos, x[:, P:]], axis=1)
-            if pos_every_layer or i == 0:
-                x = x + pos
-            x = self._block(i)(x, deterministic)
 
+        if P > 0 and self.use_deep_prompt:
+            # Deep prompts replace the prompt rows at EVERY layer, so each
+            # layer's prompt-row OUTPUTS are discarded (dvae.py:556-566) —
+            # prompts only contribute as attention keys/values within their
+            # own layer. Restrict queries/MLP/residuals to the token rows
+            # (q_keep_from=P): exact same outputs, ~half the per-layer FLOPs
+            # at the default 64-prompt/64-token shapes.
+            tok = x[:, P:]
+            tok_pos = pos[:, P:]
+            prompt_in = x[:, :P]  # layer-0 prompts (ln_pre'd for clip)
+            prompt_pos0 = pos[:, :P]
+            for i in range(self.depth):
+                if i == 0:
+                    pr, prpos = prompt_in, prompt_pos0
+                else:
+                    pr = pdrop(jnp.broadcast_to(deep_prompt[i - 1][None],
+                                                (B, P, self.embed_dim)),
+                               deterministic=deterministic)
+                    prpos = jnp.broadcast_to(deep_pos[i - 1][None],
+                                             (B, P, self.embed_dim))
+                add_tok_pos = pos_every_layer or i == 0
+                inp = jnp.concatenate(
+                    [pr + prpos, tok + tok_pos if add_tok_pos else tok],
+                    axis=1)
+                tok = self._block(i)(inp, deterministic, q_keep_from=P)
+            x = tok  # (B, G, D)
+        else:
+            for i in range(self.depth):
+                if pos_every_layer or i == 0:
+                    x = x + pos
+                x = self._block(i)(x, deterministic)
+            if P > 0:
+                x = x[:, P:]
+
+        # final LN applied after stripping prompts — LN is per-row, identical
         if self.arch == "vit":
             x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)  # timm eps
         elif self.arch == "clip":
             x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x)
-        if P > 0:
-            x = x[:, P:]
         return nn.Dense(self.tokens_dims, dtype=self.dtype, name="proj_post")(x)
