@@ -83,10 +83,64 @@ class Mlp(nn.Module):
         return x
 
 
+class _QKVProj(nn.Module):
+    """Fused qkv projection emitting (B, H, N, hd) tensors straight from the
+    MXU. Param layout/name identical to Dense(3C) ('qkv/kernel' (C, 3C)); the
+    head split happens by reshaping the WEIGHT slices (loop-invariant — XLA
+    hoists the relayout out of the step) instead of the activations, whose
+    reshape to a 64-wide minor dim cost a full layout copy per block
+    (~0.3ms/layer at teacher shapes, profiled)."""
+    num_heads: int
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, q_keep_from: int = 0):
+        B, N, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        w = self.param("kernel", nn.initializers.lecun_normal(), (C, 3 * C))
+        b = (self.param("bias", nn.initializers.zeros, (3 * C,))
+             if self.use_bias else None)
+        dt = self.dtype or w.dtype
+        xq = x[:, q_keep_from:] if q_keep_from else x
+
+        def head_proj(inp, col0):
+            wk = w[:, col0:col0 + C].reshape(C, H, hd).astype(dt)
+            y = jnp.einsum("bnc,chd->bhnd", inp.astype(dt), wk)
+            if b is not None:
+                y = y + b[col0:col0 + C].reshape(1, H, 1, hd).astype(dt)
+            return y
+
+        return head_proj(xq, 0), head_proj(x, C), head_proj(x, 2 * C)
+
+
+class _HeadMergeProj(nn.Module):
+    """Attention output projection contracting (head, head_dim) directly from
+    (B, H, N, hd) context. Param layout/name identical to Dense(C)
+    ('proj/kernel' (C, C) with rows ordered h*hd+d — exactly the layout the
+    (B, N, C) head merge would feed a plain Dense)."""
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, ctx: jax.Array) -> jax.Array:
+        H, hd = ctx.shape[1], ctx.shape[3]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (H * hd, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or w.dtype
+        return (jnp.einsum("bhnd,hdf->bnf", ctx.astype(dt),
+                           w.reshape(H, hd, self.features).astype(dt))
+                + b.astype(dt))
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (reference models/act.py:44-69).
 
     One fused qkv projection; softmax in f32 for TPU numerical stability.
+    All five matmuls (q/k/v/scores/context/output) run on MXU-native layouts
+    with head splits folded into the weight shapes — no activation relayouts.
     """
     num_heads: int
     qkv_bias: bool = False
@@ -102,26 +156,18 @@ class Attention(nn.Module):
         [q_keep_from:]; keys/values still cover all rows. Used by the prompted
         teacher whose leading prompt-row outputs are discarded every layer."""
         B, N, C = x.shape
-        head_dim = C // self.num_heads
+        H = self.num_heads
+        head_dim = C // H
         scale = self.qk_scale or head_dim ** -0.5
-        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        # split on the last (lane) axis then split heads — the same column
-        # layout as reshape(B,N,3,H,hd) (q|k|v blocks of h*hd+d), but without
-        # materializing the 5-D transpose: the (B,N,3,H,hd) reshape + index
-        # slice costs two full layout copies per block on TPU (~0.45ms/layer
-        # at teacher shapes, profiled)
-        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, C) each
-        if q_keep_from:
-            q = q[:, q_keep_from:]
-        Nq = q.shape[1]
-        q = q.reshape(B, Nq, self.num_heads, head_dim)
-        k = k.reshape(B, N, self.num_heads, head_dim)
-        v = v.reshape(B, N, self.num_heads, head_dim)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        q, k, v = _QKVProj(H, self.qkv_bias, dtype=self.dtype,
+                           name="qkv")(x, q_keep_from)  # (B, H, *, hd)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, Nq, C)
-        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        ctx = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        # output projection contracts (h, d) directly — again the head merge
+        # lives in the weight reshape, not an activation transpose
+        out = _HeadMergeProj(C, dtype=self.dtype, name="proj")(ctx)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
