@@ -56,6 +56,17 @@ def block_mask(key: jax.Array, center: jax.Array, num_mask: int) -> jax.Array:
     return ranks < num_mask
 
 
+def bernoulli_ratio_mask(key: jax.Array, batch: int, num_group: int,
+                         lo: float, hi: float) -> jax.Array:
+    """Bernoulli(ratio) mask with a shared per-batch ratio ~ U[lo, hi] — the
+    jit-friendly stand-in for the reference MaskTransformer's exact-count
+    masking (models/act.py:641-654); training-level equivalence is pinned by
+    tests/test_models.py::TestMaskDistributionEquivalence."""
+    k1, k2 = jax.random.split(key)
+    ratio = jax.random.uniform(k1, (), minval=lo, maxval=hi)
+    return jax.random.uniform(k2, (batch, num_group)) < ratio
+
+
 def split_by_mask(mask: jax.Array, num_mask: int) -> Tuple[jax.Array, jax.Array]:
     """mask (B, G) bool -> (visible_idx (B, G-num_mask), masked_idx (B, num_mask)),
     each preserving original token order (stable sort on the 0/1 key), matching
@@ -207,9 +218,7 @@ class MaskTransformer(nn.Module):
                   else (self.mask_ratio, self.mask_ratio))
         if noaug or hi == 0:
             return jnp.zeros((B, G), bool)
-        k1, k2 = jax.random.split(self.make_rng("mask"))
-        ratio = jax.random.uniform(k1, (), minval=lo, maxval=hi)
-        return jax.random.uniform(k2, (B, G)) < ratio
+        return bernoulli_ratio_mask(self.make_rng("mask"), B, G, lo, hi)
 
     def random_replace(self, tokens: jax.Array, mask: jax.Array,
                        noaug: bool):

@@ -317,3 +317,75 @@ class TestRandomReplace:
                                      rngs=RNGS, mutable=["batch_stats"])[0]
         # overall mask should (almost surely) exceed the ~30% base mask
         assert float(overall.mean()) > 0.35
+
+
+class TestMaskDistributionEquivalence:
+    """The rebuild uses Bernoulli(ratio) masking where the reference's
+    MaskTransformer masks exactly int(ratio*G) positions per row with a
+    shared per-batch ratio ~ U[lo, hi] (models/act.py:641-654). These tests
+    pin the training-level equivalence claim: equal expected mask counts and
+    uniform per-position marginals for both schemes."""
+
+    def _reference_mask(self, rng, B, G, lo, hi):
+        ratio = rng.uniform(lo, hi)
+        n = int(ratio * G)
+        m = np.zeros((B, G), bool)
+        for b in range(B):
+            m[b, rng.permutation(G)[:n]] = True
+        return m
+
+    def test_mean_count_and_marginals_match(self):
+        B, G, lo, hi = 8, 32, 0.25, 0.45
+        reps = 400
+        from act_tpu.models.act import bernoulli_ratio_mask
+        ours = np.zeros((B, G))
+        key = jax.random.PRNGKey(0)
+        for r in range(reps):
+            key, k = jax.random.split(key)
+            ours += np.asarray(bernoulli_ratio_mask(k, B, G, lo, hi))
+        ours /= reps
+
+        rng = np.random.default_rng(0)
+        ref = np.zeros((B, G))
+        for r in range(reps):
+            ref += self._reference_mask(rng, B, G, lo, hi)
+        ref /= reps
+
+        expected = (lo + hi) / 2
+        # mean masked fraction matches E[ratio] for both schemes
+        assert abs(ours.mean() - expected) < 0.02, ours.mean()
+        # reference's int() floor biases it slightly low — same ballpark
+        assert abs(ref.mean() - expected) < 0.03, ref.mean()
+        # per-position marginals are uniform in both
+        assert np.abs(ours - ours.mean()).max() < 0.1
+        assert np.abs(ref - ref.mean()).max() < 0.1
+
+
+class TestFpsSubsampleDistribution:
+    """ops.fps_subsample draws a per-item random subset where the reference
+    shares one subset across the batch (runner_finetune.py:155-157). The
+    per-sample marginal is identical: every FPS point kept with probability
+    n_out/n_fps, uniformly."""
+
+    def test_marginal_inclusion_uniform(self):
+        from act_tpu import ops
+        B, N, n_fps, n_out = 4, 256, 128, 64
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(B, N, 3)).astype(np.float32))
+        fps_idx = np.asarray(ops.furthest_point_sample(pts, n_fps))
+        fps_pts = np.asarray(ops.gather_points(pts, jnp.asarray(fps_idx)))
+
+        reps = 300
+        counts = np.zeros((B, n_fps))
+        key = jax.random.PRNGKey(1)
+        for r in range(reps):
+            key, k = jax.random.split(key)
+            sub = np.asarray(ops.fps_subsample(pts, n_fps, n_out, k))
+            # match each selected point back to its FPS-set position
+            for b in range(B):
+                d = np.linalg.norm(sub[b][:, None, :] - fps_pts[b][None], axis=-1)
+                counts[b, np.argmin(d, axis=1)] += 1
+        marg = counts / reps
+        expected = n_out / n_fps
+        assert abs(marg.mean() - expected) < 0.01
+        assert np.abs(marg - expected).max() < 0.15  # uniform, no hot spots
