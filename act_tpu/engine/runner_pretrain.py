@@ -172,6 +172,13 @@ def run_net(args, config, train_writer=None, val_writer=None):
         variables = {**variables, "params": engine_builder.cast_frozen_bf16(
             variables["params"], [tokenizer_name])}
 
+    # tensor-parallel weight shardings over the 'model' mesh axis (megatron
+    # MLP pair; no-op replication when --mesh_model_parallel is 1). Must run
+    # BEFORE optimizer init so optax moments inherit the shardings.
+    from act_tpu.parallel.tp import shard_params_tp
+    variables = {**variables,
+                 "params": shard_params_tp(variables["params"], mesh)}
+
     steps_per_epoch = max(len(train_loader), 1)
     tx, schedule = engine_builder.build_optimizer(
         config, variables["params"], steps_per_epoch, trainable)
