@@ -24,9 +24,22 @@ import numpy as np
 _WORKER_DS = None
 
 
-def _init_worker(dataset):
+def _init_worker(dataset, seed_counter, base_seed):
+    """Reseed per worker (the torch worker_init_fn analog): forked workers
+    would otherwise inherit IDENTICAL RNG state — every dataset-held
+    numpy Generator and the global np.random would replay the same
+    subsample/permutation draws in every worker."""
     global _WORKER_DS
     _WORKER_DS = dataset
+    with seed_counter.get_lock():
+        worker_id = seed_counter.value
+        seed_counter.value += 1
+    seed = (int(base_seed) + worker_id * 1_000_003) % (2 ** 31)
+    np.random.seed(seed)
+    rng = np.random.default_rng(seed)
+    for attr in ("rng",):
+        if hasattr(dataset, attr):
+            setattr(dataset, attr, rng)
 
 
 def _fetch_chunk(chunk):
@@ -73,9 +86,12 @@ class DataLoader:
             # re-importing jax (spawn would re-open the TPU client in every
             # worker); workers execute only numpy code
             ctx = mp.get_context("fork")
+            counter = ctx.Value("i", 0)
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers, mp_context=ctx,
-                initializer=_init_worker, initargs=(self.dataset,))
+                initializer=_init_worker,
+                initargs=(self.dataset, counter,
+                          self.seed + 7919 * (self.rank + 1)))
         return self._pool
 
     def close(self):

@@ -78,14 +78,43 @@ def strip_student_prefix(src: dict) -> dict:
     (models/act.py:841-848: keys starting with 'ACT_encoder.'/'base_model.'
     have the prefix stripped). A Stage-II pretrain checkpoint roots the
     student at ACT_encoder/*, while PointTransformer expects encoder/blocks/…
-    at top level; without this, finetune silently trains from random init."""
+    at top level; without this, finetune silently trains from random init.
+
+    Lifted keys take PRECEDENCE over same-named top-level siblings (e.g. a
+    cls_loss=True pretrain ckpt holds both ACT_encoder/cls_pos and the
+    distill-level cls_pos; the reference's assignment surgery overwrites the
+    sibling with the stripped value)."""
     out = {}
+    for k, v in src.items():
+        if not (k in ("ACT_encoder", "base_model") and isinstance(v, dict)):
+            out[k] = v
     for k, v in src.items():
         if k in ("ACT_encoder", "base_model") and isinstance(v, dict):
             out.update(v)
-        else:
-            out[k] = v
     return out
+
+
+def fold_legacy_encoder_bias(params: dict, batch_stats: dict):
+    """Compatibility shim for flax checkpoints saved before GroupEncoder's
+    conv1/conv3 dropped their biases: fold each legacy bias into the adjacent
+    BN running_mean (rm' = rm - b, exact in eval) and remove the bias so
+    merge_pretrained doesn't silently drop it while keeping the stale mean.
+    Mutates + returns (params, batch_stats)."""
+    def walk(p, bs):
+        if not isinstance(p, dict):
+            return
+        for conv, bn in (("conv1", "bn1"), ("conv3", "bn2")):
+            node = p.get(conv)
+            if (isinstance(node, dict) and "bias" in node
+                    and isinstance(bs, dict) and bn in bs
+                    and "mean" in bs.get(bn, {})):
+                bias = np.asarray(node.pop("bias"))
+                bs[bn]["mean"] = np.asarray(bs[bn]["mean"]) - bias
+        for k, v in p.items():
+            if isinstance(v, dict):
+                walk(v, bs.get(k, {}) if isinstance(bs, dict) else {})
+    walk(params, batch_stats if isinstance(batch_stats, dict) else {})
+    return params, batch_stats
 
 
 # ---------------------------------------------------------------------------

@@ -69,16 +69,17 @@ def build_state(args, config, logger, steps_per_epoch):
         # pretrain ckpts root the student at ACT_encoder/* — strip the prefix
         # like the reference load_model_from_ckpt (models/act.py:841-848)
         src = ckpt_lib.strip_student_prefix(loaded.get("params", loaded))
+        loaded_bs = ckpt_lib.strip_student_prefix(loaded.get("batch_stats", {})
+                                                  or {})
+        src, loaded_bs = ckpt_lib.fold_legacy_encoder_bias(src, loaded_bs)
         merged = ckpt_lib.merge_pretrained(
             jax.device_get(state.params), src, logger=logger)
         state = state.replace(params=merged)
         # restore BatchNorm running statistics too — evaluating with init
         # stats (mean 0 / var 1) silently wrecks --test accuracy
-        loaded_bs = loaded.get("batch_stats", {})
         if loaded_bs:
             merged_bs = ckpt_lib.merge_pretrained(
-                jax.device_get(state.batch_stats),
-                ckpt_lib.strip_student_prefix(loaded_bs), logger=logger)
+                jax.device_get(state.batch_stats), loaded_bs, logger=logger)
             state = state.replace(batch_stats=merged_bs)
         print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
     return model, state, schedule, root_key

@@ -77,6 +77,8 @@ def load_dvae_ckpt(variables, dvae_cfg, subtree: str, logger=None):
         payload = ckpt_lib.load_checkpoint(path)
         loaded_params = payload.get("params", payload)
         loaded_bs = payload.get("batch_stats", {}) or {}
+        loaded_params, loaded_bs = ckpt_lib.fold_legacy_encoder_bias(
+            loaded_params, loaded_bs)
     params[subtree] = ckpt_lib.merge_pretrained(params[subtree], loaded_params,
                                                 logger=logger)
     if batch_stats.get(subtree) and loaded_bs:
@@ -129,7 +131,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     # datasets -----------------------------------------------------------
     config.dataset.train.others.bs = config.total_bs
-    _, train_loader = engine_builder.dataset_builder(args, config.dataset.train)
+    train_dataset, train_loader = engine_builder.dataset_builder(
+        args, config.dataset.train)
     extra_loader = val_loader = None
     if "val" in config.dataset:
         config.dataset.val.others.bs = config.total_bs * 2
@@ -192,12 +195,17 @@ def run_net(args, config, train_writer=None, val_writer=None):
             best_metrics = AccMetric(best.get("acc", 0.0))
     elif getattr(args, "start_ckpts", None):
         state = ckpt_lib.load_params_into(state, args.start_ckpts, logger)
+    if args.resume or getattr(args, "start_ckpts", None):
+        # restored arrays are host numpy — re-apply the TP weight shardings
+        # (opt-state moments get resharded by GSPMD on the first step)
+        state = state.replace(params=shard_params_tp(state.params, mesh))
 
     # dataset-dependent pre-transform (reference runner_pretrain.py:129-135):
     # ShapeNet clouds arrive already subsampled to npoints; ModelNet clouds are
-    # raw 8192-pt and get FPS'd to npoints on device before the augments
-    train_ds_name = str(config.dataset.train.get(
-        "_base_", config.dataset.train).get("NAME", "ShapeNet"))
+    # raw 8192-pt and get FPS'd to npoints on device before the augments.
+    # Branch on the actual dataset class (registry names match the
+    # reference's) rather than probing config shapes.
+    train_ds_name = type(train_dataset).__name__
     if train_ds_name == "ModelNet":
         def pretrain_transform(key, pts):
             from act_tpu import ops
@@ -211,6 +219,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
         loss_is_tuple=is_pointbert,
         ema_momentum=float(config.model.m) if is_pointbert else None)
     scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    if smoke:
+        scan_steps = 1  # smoke runs exactly max_steps single steps
     multi_step = (make_multi_step(train_step, scan_steps)
                   if scan_steps > 1 else None)
 

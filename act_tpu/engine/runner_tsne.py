@@ -64,14 +64,16 @@ def _build_and_load(model_cfg, ckpt_path, npoints, seed, logger):
     if ckpt_path:
         payload = ckpt_lib.load_checkpoint(ckpt_path)
         src = ckpt_lib.strip_student_prefix(payload.get("params", payload))
+        loaded_bs = ckpt_lib.strip_student_prefix(
+            payload.get("batch_stats", {}) or {})
+        src, loaded_bs = ckpt_lib.fold_legacy_encoder_bias(src, loaded_bs)
         merged = ckpt_lib.merge_pretrained(
             jax.device_get(variables["params"]), src, logger=logger)
         variables = {**variables, "params": merged}
-        loaded_bs = payload.get("batch_stats", {})
         if loaded_bs and variables.get("batch_stats"):
             variables["batch_stats"] = ckpt_lib.merge_pretrained(
-                jax.device_get(variables["batch_stats"]),
-                ckpt_lib.strip_student_prefix(loaded_bs), logger=logger)
+                jax.device_get(variables["batch_stats"]), loaded_bs,
+                logger=logger)
         print_log(f"[TSNE] loaded {ckpt_path}", logger=logger)
     return model, variables
 

@@ -168,7 +168,8 @@ class ACTPromptedDiscreteVAEwithVIT(_DVAEBase):
 
     def _setup_teacher(self):
         cfg = as_cfg(self.config)
-        if str(cfg.get("visual_embed_dim", "none")) == "none":
+        ved = cfg.get("visual_embed_dim", "none")
+        if ved is None or str(ved).lower() in ("none", "null", ""):
             self.teacher = None  # reference dvae.py:392-393
             return
         embed_type = str(cfg.get("visual_embed_type", "vit_base_patch16_224"))

@@ -178,9 +178,11 @@ class TestLoaderWorkers:
         for x, y in zip(batches_a, batches_b):
             np.testing.assert_array_equal(x, y)
 
+    @pytest.mark.slow
     def test_loader_throughput_with_real_io(self, tmp_path):
         """Throughput floor with realistic per-sample .npy IO. The bench chip
-        consumes ~1.8-2k clouds/sec; document the margin (DESIGN.md)."""
+        consumes ~2-3k clouds/sec; document the margin (DESIGN.md). Slow
+        marker: wall-clock floors are machine-load dependent."""
         import time
         ds = _NpyDiskDataset(str(tmp_path), n_files=512)
         results = {}
@@ -201,3 +203,31 @@ class TestLoaderWorkers:
         # conservative floor — the measured pool rate is far above the
         # ~2k clouds/sec the chip consumes
         assert results[4] > 1000, results
+
+
+    def test_workers_draw_distinct_random_subsamples(self, tmp_path):
+        """Forked workers must NOT replay identical RNG streams: per-worker
+        reseeding (the torch worker_init_fn analog) gives different
+        per-sample permutation draws across workers."""
+
+        class RngDataset:
+            def __init__(self):
+                self.rng = np.random.default_rng(0)
+
+            def __len__(self):
+                return 16
+
+            def __getitem__(self, i):
+                # the sample VALUE is a random draw: identical worker RNG
+                # state would make the k-th draw equal in every worker
+                return ("T", f"m{i}", self.rng.normal(size=(4,)).astype(
+                    np.float32))
+
+        loader = DataLoader(RngDataset(), batch_size=1, shuffle=False,
+                            num_workers=4)
+        batches = [x for _, _, x in loader]
+        loader.close()
+        flat = np.concatenate(batches)
+        # with 4 workers each producing 4 samples, identical streams would
+        # yield only ~4 distinct values; reseeded workers yield all distinct
+        assert len(np.unique(flat.round(6), axis=0)) > 8

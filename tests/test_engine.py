@@ -299,3 +299,30 @@ class TestTensorParallel:
         assert np.isfinite(float(metrics["loss"]))
         fc1 = state.params["blocks"]["blocks_0"]["mlp"]["fc1"]["kernel"]
         assert tuple(fc1.sharding.spec) == (None, "model")
+
+
+class TestLegacyCkptCompat:
+    def test_strip_prefix_precedence(self):
+        """Lifted ACT_encoder keys beat same-named top-level siblings (the
+        cls_loss=True ckpt has both cls_pos tensors; reference surgery
+        overwrites, models/act.py:841-848)."""
+        from act_tpu.engine.checkpoint import strip_student_prefix
+        src = {"cls_pos": np.zeros((1, 1, 4)),
+               "ACT_encoder": {"cls_pos": np.ones((1, 1, 4))}}
+        out = strip_student_prefix(src)
+        np.testing.assert_allclose(out["cls_pos"], 1.0)
+
+    def test_fold_legacy_encoder_bias(self):
+        """Old flax ckpts carry conv1/conv3 biases; folding them into the BN
+        running mean keeps eval outputs exact."""
+        from act_tpu.engine.checkpoint import fold_legacy_encoder_bias
+        params = {"encoder": {"conv1": {"kernel": np.ones((3, 8)),
+                                        "bias": np.full(8, 0.5)},
+                              "conv2": {"kernel": np.ones((8, 8)),
+                                        "bias": np.ones(8)}}}
+        bs = {"encoder": {"bn1": {"mean": np.ones(8), "var": np.ones(8)}}}
+        params, bs = fold_legacy_encoder_bias(params, bs)
+        assert "bias" not in params["encoder"]["conv1"]
+        np.testing.assert_allclose(bs["encoder"]["bn1"]["mean"], 0.5)
+        # conv2 (no adjacent BN rule) untouched
+        assert "bias" in params["encoder"]["conv2"]
