@@ -443,6 +443,20 @@ class FoldingDecoder(nn.Module):
                 fine.reshape(B, G, self.num_fine, 3))
 
 
+def fast_uniform(key: jax.Array, shape, minval=1e-10, maxval=1.0) -> jax.Array:
+    """Uniform draws via the hardware-backed ``rbg`` PRNG (RngBitGenerator).
+
+    jax's default threefry generator computes a counter hash per value on the
+    VPU — for the Stage-II gumbel tensor (B, G, 8192) that is ~67M hashes,
+    ~1.6ms/step on v5e. ``rbg`` maps to the TPU's native RNG instruction and
+    shards cleanly under GSPMD. The threefry key is folded into the 4-word
+    rbg key, so draws stay a deterministic function of the session seed
+    (distribution-identical, stream-different vs threefry)."""
+    data = jax.random.key_data(jax.random.split(key, 2)).reshape(4)
+    rbg = jax.random.wrap_key_data(data, impl="rbg")
+    return jax.random.uniform(rbg, shape, minval=minval, maxval=maxval)
+
+
 def gumbel_softmax(key: jax.Array, logits: jax.Array, tau: float = 1.0,
                    hard: bool = False, axis: int = -1) -> jax.Array:
     """Gumbel-softmax with optional straight-through hard sampling — the JAX

@@ -21,7 +21,7 @@ from act_tpu import ops
 from act_tpu.models.build import MODELS
 from act_tpu.utils.config import as_cfg
 from act_tpu.models.common import (DGCNN, FoldingDecoder, GroupEncoder,
-                                   dtype_from_cfg, gumbel_softmax,
+                                   dtype_from_cfg, fast_uniform, gumbel_softmax,
                                    gumbel_softmax_from_u)
 from act_tpu.models.teacher import PromptedTeacher
 
@@ -88,8 +88,8 @@ class _DVAEBase(nn.Module):
         so instead of materializing the (B, G, 8192) softmax + one-hot and the
         one-hot @ codebook matmul, we gather codebook rows directly."""
         logits = self.encode_logits(neighborhood, center, train=train)
-        u = jax.random.uniform(self.make_rng("gumbel"), logits.shape,
-                               minval=1e-10, maxval=1.0)
+        u = fast_uniform(self.make_rng("gumbel"), logits.shape,
+                         minval=1e-10, maxval=1.0)
         # sown for the full-graph torch-equivalence tests (no-op in training)
         self.sow("intermediates", "gumbel_u", u)
         ids = jnp.argmax(logits - jnp.log(-jnp.log(u)), axis=-1)  # (B, G)
@@ -103,8 +103,8 @@ class _DVAEBase(nn.Module):
                  hard: bool = False, train: bool = False) -> Tuple[jax.Array, ...]:
         neighborhood, center = ops.group_points(inp, self.num_group, self.group_size)
         logits = self.encode_logits(neighborhood, center, train=train)
-        u = jax.random.uniform(self.make_rng("gumbel"), logits.shape,
-                               minval=1e-10, maxval=1.0)
+        u = fast_uniform(self.make_rng("gumbel"), logits.shape,
+                         minval=1e-10, maxval=1.0)
         self.sow("intermediates", "gumbel_u", u)
         soft_one_hot = gumbel_softmax_from_u(u, logits, tau=temperature,
                                              hard=hard)

@@ -18,20 +18,30 @@ import jax
 import jax.numpy as jnp
 
 from act_tpu.ops.fps import furthest_point_sample
+from act_tpu.ops.topk import k_smallest_pallas
 from act_tpu.ops._backend import use_pallas
 from act_tpu.ops.reference import (gather_coords, gather_points, knn_ref,
                                    square_distance)
 
 
+def _use_approx_knn() -> bool:
+    import os
+    return os.environ.get("ACT_TPU_KNN", "").lower() == "approx"
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int):
-    """TPU kNN via approx_min_k at recall_target=1.0 — measured ~9x faster than
-    lax.top_k for the ACT regimes (64-128 queries x 1024-2048 points) with exact
-    neighbor sets (neighbor order within k is unspecified, which matches the
-    reference's `sorted=False` torch fallback, models/dvae.py:130)."""
+    """TPU kNN: exact k-smallest Pallas extraction over the MXU distance
+    matrix (ops/topk.py). For k << N the iterative extract-min kernel avoids
+    the full bitonic sort over N lanes that both ``lax.top_k`` and
+    ``approx_min_k(recall=1.0)`` lower to. ``ACT_TPU_KNN=approx`` restores
+    the approx_min_k path for A/B runs. Neighbor sets are exact; ties break
+    to the smallest index like ``knn_ref``."""
     d = square_distance(query, ref_points)
-    dist, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
-    return dist, idx.astype(jnp.int32)
+    if _use_approx_knn():
+        dist, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
+        return dist, idx.astype(jnp.int32)
+    return k_smallest_pallas(d, k)
 
 
 def knn(ref_points: jax.Array, query: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -65,11 +75,13 @@ def graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int = 4) -> jax.A
     DGCNN.get_graph_feature's KNN(k=4) call (models/dvae.py:59-79); neighbor features
     are then gathered and concatenated as (nbr - self, self) by the model code.
     """
-    if use_pallas():
-        d = square_distance(coor_q, coor_k)
-        _, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
-        return idx.astype(jnp.int32)
     d = square_distance(coor_q, coor_k)
+    if use_pallas():
+        if _use_approx_knn():
+            _, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
+        else:
+            _, idx = k_smallest_pallas(d, k)
+        return idx.astype(jnp.int32)
     _, idx = jax.lax.top_k(-d, k)
     return idx.astype(jnp.int32)
 

@@ -361,6 +361,29 @@ class TestMaskDistributionEquivalence:
         assert np.abs(ref - ref.mean()).max() < 0.1
 
 
+class TestFastUniform:
+    """fast_uniform (hardware rbg PRNG) must be a well-behaved U(minval, 1):
+    the gumbel sampling paths (dvae.forward_tokenizer_features/__call__) rely
+    on it being in-range (log(-log(u)) finite), deterministic per key, and
+    distributionally uniform."""
+
+    def test_range_determinism_moments(self):
+        from act_tpu.models.common import fast_uniform
+        u = np.asarray(fast_uniform(jax.random.PRNGKey(3), (64, 4096)))
+        assert u.min() > 0.0 and u.max() < 1.0
+        assert np.isfinite(-np.log(-np.log(u))).all()
+        u2 = np.asarray(fast_uniform(jax.random.PRNGKey(3), (64, 4096)))
+        np.testing.assert_array_equal(u, u2)
+        u3 = np.asarray(fast_uniform(jax.random.PRNGKey(4), (64, 4096)))
+        assert np.abs(u - u3).max() > 1e-3  # different key -> different stream
+        # moments of U(0,1): mean 1/2, var 1/12 (n=262144: generous 5-sigma)
+        assert abs(u.mean() - 0.5) < 0.005, u.mean()
+        assert abs(u.var() - 1.0 / 12.0) < 0.003, u.var()
+        # uniformity across deciles
+        hist, _ = np.histogram(u, bins=10, range=(0, 1))
+        assert np.abs(hist / u.size - 0.1).max() < 0.01
+
+
 class TestFpsSubsampleDistribution:
     """ops.fps_subsample draws a per-item random subset where the reference
     shares one subset across the batch (runner_finetune.py:155-157). The

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from act_tpu import ops
 from act_tpu.ops import chamfer as chamfer_mod
 from act_tpu.ops import fps as fps_mod
+from act_tpu.ops import group as group_mod
 
 
 def np_fps(points, n_samples):
@@ -173,6 +174,32 @@ class TestPallasInterpret:
         got = np.asarray(fps_mod._fps_pallas_batched(pts, 16))
         want = np.asarray(ops.furthest_point_sample_ref(pts, 16))
         np.testing.assert_array_equal(got, want)
+
+    def test_k_smallest_matches_topk(self, rng):
+        from act_tpu.ops.topk import k_smallest_pallas
+        for (B, S, N, k) in [(2, 64, 1024, 32), (1, 9, 777, 3),
+                             (3, 37, 130, 4)]:
+            d = jnp.asarray(rng.normal(size=(B, S, N)).astype(np.float32))
+            v_p, i_p = k_smallest_pallas(d, k)
+            v_r, i_r = jax.lax.top_k(-d, k)
+            np.testing.assert_allclose(np.asarray(v_p), -np.asarray(v_r),
+                                       atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
+
+    def test_k_smallest_tie_break_and_degenerate(self):
+        from act_tpu.ops.topk import k_smallest_pallas
+        d = jnp.zeros((1, 8, 256), jnp.float32)  # all-identical distances
+        v, i = k_smallest_pallas(d, 5)
+        np.testing.assert_array_equal(np.asarray(i)[0, 0], [0, 1, 2, 3, 4])
+        np.testing.assert_allclose(np.asarray(v), 0.0)
+
+    def test_knn_pallas_path_matches_ref(self, rng):
+        pts = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(2, 40, 3)).astype(np.float32))
+        d_p, i_p = group_mod._knn_tpu(pts, q, 8)
+        d_r, i_r = ops.knn_ref(pts, q, 8)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_r))
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r), atol=1e-4)
 
 
 class TestGatherPallas:
