@@ -309,8 +309,14 @@ class GroupEncoder(nn.Module):
     def __call__(self, point_groups: jax.Array, train: bool = False) -> jax.Array:
         B, G, M, _ = point_groups.shape
         x = point_groups.reshape(B * G, M, 3)
+        # dtype=self.dtype: emit normalized activations in the compute dtype.
+        # flax computes the mean/var statistics in f32 regardless; without
+        # this the BN *outputs* materialize in f32 and the (B*G*M, 256/512)
+        # activation traffic through bn->relu->conv fwd+bwd doubles
+        # (profiled ~1ms/step at default shapes).
         bn = dict(use_running_average=not train, momentum=self.bn_momentum,
-                  axis_name=self.bn_axis_name if train else None)
+                  axis_name=self.bn_axis_name if train else None,
+                  dtype=self.dtype)
         # conv1/conv3 carry no bias: each is immediately followed by a
         # BatchNorm whose mean subtraction absorbs any constant bias — train
         # mode is bit-identical, and for converted torch checkpoints the
@@ -455,6 +461,26 @@ def fast_uniform(key: jax.Array, shape, minval=1e-10, maxval=1.0) -> jax.Array:
     data = jax.random.key_data(jax.random.split(key, 2)).reshape(4)
     rbg = jax.random.wrap_key_data(data, impl="rbg")
     return jax.random.uniform(rbg, shape, minval=minval, maxval=maxval)
+
+
+class FastDropout(nn.Module):
+    """Dropout with the mask drawn from the hardware ``rbg`` PRNG.
+
+    Semantically identical to ``nn.Dropout`` (iid Bernoulli keep at 1-rate,
+    1/(1-rate) scaling, 'dropout' rng collection) but the mask bits come from
+    ``fast_uniform`` — ``nn.Dropout``'s threefry draw costs ~0.12ms per
+    (128, 64, 768) mask on v5e, and the prompted teacher draws one per layer
+    (12x/step, profiled as 1.6ms fused into the pos-add)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        u = fast_uniform(self.make_rng("dropout"), x.shape,
+                         minval=0.0, maxval=1.0)
+        keep = u >= self.rate
+        return jnp.where(keep, x / (1.0 - self.rate), jnp.zeros_like(x))
 
 
 def gumbel_softmax(key: jax.Array, logits: jax.Array, tau: float = 1.0,

@@ -88,11 +88,16 @@ class _DVAEBase(nn.Module):
         so instead of materializing the (B, G, 8192) softmax + one-hot and the
         one-hot @ codebook matmul, we gather codebook rows directly."""
         logits = self.encode_logits(neighborhood, center, train=train)
-        u = fast_uniform(self.make_rng("gumbel"), logits.shape,
-                         minval=1e-10, maxval=1.0)
-        # sown for the full-graph torch-equivalence tests (no-op in training)
-        self.sow("intermediates", "gumbel_u", u)
-        ids = jnp.argmax(logits - jnp.log(-jnp.log(u)), axis=-1)  # (B, G)
+        if ops.use_fused_gumbel():
+            # real-TPU path: noise drawn on-core inside the argmax kernel —
+            # the (B, G, 8192) uniform tensor never exists in HBM
+            ids = ops.gumbel_argmax_pallas(logits, self.make_rng("gumbel"))
+        else:
+            u = fast_uniform(self.make_rng("gumbel"), logits.shape,
+                             minval=1e-10, maxval=1.0)
+            # sown for the full-graph torch-equivalence tests (no-op in training)
+            self.sow("intermediates", "gumbel_u", u)
+            ids = jnp.argmax(logits - jnp.log(-jnp.log(u)), axis=-1)  # (B, G)
         sampled = jnp.take(self.codebook, ids, axis=0)  # (B, G, C)
         feature = self._teach(sampled, center, deterministic=not train)
         if return_global:

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from act_tpu.models.common import Block, Mlp, trunc_normal_init
+from act_tpu.models.common import Block, FastDropout, Mlp, trunc_normal_init
 
 
 class PostLNBlock(nn.Module):
@@ -121,7 +121,7 @@ class PromptedTeacher(nn.Module):
                                 (1, P, self.embed_dim))
             prompt_pos = self.param("visual_prompt_pos", trunc_normal_init(),
                                     (1, P, self.embed_dim))
-            pdrop = nn.Dropout(self.prompt_dropout)
+            pdrop = FastDropout(self.prompt_dropout)
             x = jnp.concatenate(
                 [pdrop(jnp.broadcast_to(prompt, (B, P, self.embed_dim)),
                        deterministic=deterministic), feature], axis=1)

@@ -26,3 +26,4 @@ from act_tpu.ops.chamfer import (
     chamfer_distance_l2,
     chamfer_distance_l2_split,
 )
+from act_tpu.ops.sampling import gumbel_argmax_pallas, use_fused_gumbel

@@ -1,0 +1,131 @@
+"""Fused hard-Gumbel sampling (argmax over logits + Gumbel noise) as a Pallas kernel.
+
+The Stage-II tokenizer path needs ``argmax(logits + g)`` over the 8192-way
+codebook, g ~ Gumbel(0,1) (reference models/dvae.py:584-592 via hard
+``F.gumbel_softmax``; value-identity documented at
+``dvae.forward_tokenizer_features``). Done in XLA this materializes a
+(B, G, 8192) uniform tensor in HBM and reads it back for the argmax —
+~1ms/step at default shapes. This kernel streams logits tiles through VMEM,
+draws the noise on-core from the TPU's hardware PRNG, and emits only the
+(B, G) winning indices: the noise never touches HBM.
+
+The per-(row, lane) noise is a deterministic function of (key, grid
+position): TPU path seeds ``pltpu.prng_seed(seed0, seed1, program_id)``; the
+interpret/CPU path (where Mosaic's prng primitives don't lower) uses an
+xorshift hash of the same coordinates so the argmax/masking logic stays
+unit-testable off-TPU (`_hash_bits` is replicated by the tests).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from act_tpu.ops._backend import interpret_flag, pallas_mode, round_up
+
+_BIG = 3.4e38
+
+
+def _hash_bits(row: jax.Array, lane: jax.Array, s0, s1, pid) -> jax.Array:
+    """Deterministic per-coordinate 31-bit hash (interpret-mode noise source).
+    int32 arithmetic wraps on XLA, which is exactly what we want."""
+    h = (row * jnp.int32(-1640531527) + lane * jnp.int32(40503)
+         + s0 * jnp.int32(69069) + s1 * jnp.int32(1013904223)
+         + pid * jnp.int32(22695477) + jnp.int32(374761393))
+    h = h ^ (h << 13)
+    h = h ^ jax.lax.shift_right_logical(h, 17)
+    h = h ^ (h << 5)
+    return jax.lax.shift_right_logical(h, 1)  # 31 usable bits
+
+
+def _uniform_from_bits(bits_f: jax.Array, scale: float) -> jax.Array:
+    u = bits_f * jnp.float32(scale)
+    return jnp.maximum(u, jnp.float32(1e-10))
+
+
+def _gumbel_argmax_kernel(v: int, use_hw_prng: bool,
+                          seed_ref, logits_ref, out_ref):
+    """seed_ref: (2,) int32 SMEM; logits_ref: (Rc, Vpad) VMEM;
+    out_ref: (Rc, 128) int32 VMEM (winning index broadcast across lanes)."""
+    rc, vpad = logits_ref.shape
+    pid = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rc, vpad), 1)
+    if use_hw_prng:
+        # prng_seed accepts at most 2 words: fold the grid step into word 0
+        pltpu.prng_seed(seed_ref[0] ^ (pid * jnp.int32(-1640531527)),
+                        seed_ref[1])
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rc, vpad)), jnp.uint32)
+        # >>8 leaves 24 bits, which fit int32 exactly (Mosaic has no
+        # uint32->f32 convert)
+        u = _uniform_from_bits(
+            jax.lax.shift_right_logical(bits, jnp.uint32(8))
+            .astype(jnp.int32).astype(jnp.float32),
+            1.0 / (1 << 24))
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (rc, vpad), 0)
+        bits = _hash_bits(row, lane, seed_ref[0], seed_ref[1], pid)
+        u = _uniform_from_bits(bits.astype(jnp.float32), 1.0 / (1 << 31))
+    g = -jnp.log(-jnp.log(u))
+    val = jnp.where(lane < v, logits_ref[:].astype(jnp.float32) + g,
+                    jnp.float32(-_BIG))
+    m = jnp.max(val, axis=1, keepdims=True)
+    idx = jnp.min(jnp.where(val == m, lane, jnp.int32(vpad)),
+                  axis=1, keepdims=True)
+    out_ref[:] = jnp.broadcast_to(idx, (rc, 128))
+
+
+@jax.jit
+def gumbel_argmax_pallas(logits: jax.Array, key: jax.Array) -> jax.Array:
+    """ids = argmax(logits + Gumbel noise) over the last axis.
+
+    logits: (..., V) -> (...) int32. Noise is drawn on-core (never
+    materialized); deterministic per (key, shape). Forward-value equivalent
+    to hard gumbel_softmax at tau=1 under stop_gradient."""
+    *lead, v = logits.shape
+    rows = 1
+    for s in lead:
+        rows *= s
+    x = jax.lax.stop_gradient(logits).reshape(rows, v)
+    vpad = round_up(v, 128)
+    # f32 noise+val working set dominates: keep (chunk, Vpad) f32 ~4MB
+    chunk = max(8, min(256, (4 * 1024 * 1024) // (4 * vpad)))
+    chunk = min(chunk, round_up(rows, 8))
+    rpad = round_up(rows, chunk)
+    if rpad != rows or vpad != v:
+        x = jnp.pad(x, ((0, rpad - rows), (0, vpad - v)))
+    try:
+        data = jax.random.key_data(key)  # typed key
+    except TypeError:
+        data = jnp.asarray(key)  # raw uint32 key array
+    seed = data.astype(jnp.int32).reshape(-1)[:2]
+
+    out = pl.pallas_call(
+        partial(_gumbel_argmax_kernel, v, not interpret_flag()),
+        grid=(rpad // chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((chunk, vpad), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk, 128), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rpad, 128), jnp.int32),
+        interpret=interpret_flag(),
+    )(seed, x)
+    return out[:rows, 0].reshape(lead)
+
+
+def use_fused_gumbel() -> bool:
+    """Opt-in (``ACT_TPU_GUMBEL=pallas``): measured on v5e the fused kernel is
+    ~8% slower end-to-end than the XLA path with rbg noise (1.22 vs 1.13
+    ms/iter at (128, 64, 8192)) — Mosaic's log() lowers to a VPU polynomial
+    while XLA's fused rng+log+argmax uses the hardware transcendental unit,
+    which outweighs the saved HBM round trip of the noise tensor. Kept as an
+    op (tested in interpret mode) for regimes with larger codebooks where the
+    traffic term dominates. The CPU/interpret paths always keep the
+    jax.random draw so equivalence tests can sow and replay the noise."""
+    import os
+    return (os.environ.get("ACT_TPU_GUMBEL", "").lower() == "pallas"
+            and pallas_mode() == "tpu")

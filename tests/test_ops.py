@@ -193,6 +193,52 @@ class TestPallasInterpret:
         np.testing.assert_array_equal(np.asarray(i)[0, 0], [0, 1, 2, 3, 4])
         np.testing.assert_allclose(np.asarray(v), 0.0)
 
+    def _expected_gumbel_ids(self, logits, seed, chunk):
+        """Replicates sampling._hash_bits (interpret-mode noise) in numpy."""
+        rows, v = logits.shape
+        row = (np.arange(rows, dtype=np.uint32) % np.uint32(chunk))[:, None]
+        pid = (np.arange(rows, dtype=np.uint32) // np.uint32(chunk))[:, None]
+        lane = np.arange(v, dtype=np.uint32)[None, :]
+        s0, s1 = (np.uint32(seed[0] & 0xFFFFFFFF), np.uint32(seed[1] & 0xFFFFFFFF))
+        with np.errstate(over="ignore"):
+            h = (row * np.uint32(2654435769) + lane * np.uint32(40503)
+                 + s0 * np.uint32(69069) + s1 * np.uint32(1013904223)
+                 + pid * np.uint32(22695477) + np.uint32(374761393))
+            h = h ^ (h << np.uint32(13))
+            h = h ^ (h >> np.uint32(17))
+            h = h ^ (h << np.uint32(5))
+        bits = (h >> np.uint32(1)).astype(np.float64)
+        u = np.maximum(bits * (1.0 / 2 ** 31), 1e-10).astype(np.float32)
+        g = -np.log(-np.log(u))
+        return np.argmax(logits.astype(np.float32) + g, axis=-1)
+
+    def test_gumbel_argmax_kernel_matches_hash_formula(self, rng):
+        from act_tpu.ops import sampling
+        key = jax.random.PRNGKey(11)
+        try:
+            seed = np.asarray(jax.random.key_data(key))
+        except TypeError:
+            seed = np.asarray(key)
+        seed = seed.astype(np.int64).reshape(-1)[:2]
+        for (B, G, V) in [(2, 16, 512), (3, 40, 130)]:
+            logits = rng.normal(size=(B, G, V)).astype(np.float32) * 3
+            vpad = ((V + 127) // 128) * 128
+            chunk = max(8, min(256, (4 * 1024 * 1024) // (4 * vpad)))
+            chunk = min(chunk, ((B * G + 7) // 8) * 8)
+            ids = np.asarray(sampling.gumbel_argmax_pallas(
+                jnp.asarray(logits), key))
+            want = self._expected_gumbel_ids(
+                logits.reshape(-1, V), seed, chunk).reshape(B, G)
+            np.testing.assert_array_equal(ids, want)
+
+    def test_gumbel_argmax_tracks_logits(self, rng):
+        """Huge logit margins dominate the noise -> plain argmax."""
+        from act_tpu.ops import sampling
+        logits = jnp.asarray(rng.normal(size=(4, 8, 256)).astype(np.float32))
+        ids = sampling.gumbel_argmax_pallas(logits * 1e6, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(
+            np.asarray(ids), np.asarray(jnp.argmax(logits, -1)))
+
     def test_knn_pallas_path_matches_ref(self, rng):
         pts = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
         q = jnp.asarray(rng.normal(size=(2, 40, 3)).astype(np.float32))
