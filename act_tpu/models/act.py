@@ -136,12 +136,19 @@ class VisableOnlyMaskTransformer(nn.Module):
                  only_cls_tokens: bool = False, register_shallow_hook: int = -1):
         B, G = center.shape[:2]
         mask, num_mask = self.make_mask(center, noaug)
-        tokens = self.encoder(neighborhood, train=train)  # (B, G, C)
-        if self.use_reduce:
-            tokens = self.reduce_dim(tokens)
-
         vis_idx, _ = split_by_mask(mask, num_mask)
-        x_vis = take_tokens(tokens, vis_idx)
+        # Embed only the visible groups (the masked ones' embeddings are
+        # discarded — reference act.py:700-707 embeds all G then boolean-
+        # indexes, 5x the embed FLOPs at mask_ratio 0.8). Identical math per
+        # group; in train mode the BatchNorm batch statistics are estimated
+        # over the visible (uniformly random) subset of groups instead of all
+        # of them — an unbiased estimate over ~B*V*M >= 50k points (pinned by
+        # TestVisibleOnlyEmbedding).
+        vis_nbr = jnp.take_along_axis(
+            neighborhood, vis_idx[:, :, None, None], axis=1)  # (B, V, M, 3)
+        x_vis = self.encoder(vis_nbr, train=train)  # (B, V, C)
+        if self.use_reduce:
+            x_vis = self.reduce_dim(x_vis)
         vis_center = take_tokens(center, vis_idx)
         pos = self.pos_embed(vis_center)
 

@@ -361,6 +361,60 @@ class TestMaskDistributionEquivalence:
         assert np.abs(ref - ref.mean()).max() < 0.1
 
 
+class TestVisibleOnlyEmbedding:
+    """MaskTransformer embeds only the visible groups (reference act.py:700-707
+    embeds all G then boolean-indexes). Per-group math is identical — the only
+    train-mode deviation is BatchNorm batch statistics estimated over the
+    visible (uniformly random) subset of groups. These tests pin both claims."""
+
+    def _setup(self, rng, B=4, G=32, M=16):
+        from act_tpu.models.common import GroupEncoder
+        nbr = jnp.asarray(rng.normal(size=(B, G, M, 3)).astype(np.float32))
+        ge = GroupEncoder(32)
+        variables = ge.init(jax.random.PRNGKey(0), nbr)
+        vis_idx = jnp.argsort(jnp.asarray(
+            rng.random((B, G)).astype(np.float32)), axis=-1)[:, :G // 2]
+        vis_nbr = jnp.take_along_axis(nbr, vis_idx[:, :, None, None], axis=1)
+        return ge, variables, nbr, vis_idx, vis_nbr
+
+    def test_eval_mode_exact(self, rng):
+        ge, variables, nbr, vis_idx, vis_nbr = self._setup(rng)
+        full = ge.apply(variables, nbr)  # (B, G, C), running stats
+        gathered = jnp.take_along_axis(full, vis_idx[:, :, None], axis=1)
+        direct = ge.apply(variables, vis_nbr)
+        np.testing.assert_array_equal(np.asarray(direct), np.asarray(gathered))
+
+    def test_train_mode_subset_stats_close(self, rng):
+        ge, variables, nbr, vis_idx, vis_nbr = self._setup(rng, B=8, G=32, M=16)
+        full, st_f = ge.apply(variables, nbr, train=True,
+                              mutable=["batch_stats"])
+        gathered = np.asarray(
+            jnp.take_along_axis(full, vis_idx[:, :, None], axis=1))
+        direct, st_v = ge.apply(variables, vis_nbr, train=True,
+                                mutable=["batch_stats"])
+        # outputs differ only through the subset-estimated BN stats
+        scale = np.abs(gathered).mean()
+        assert np.abs(np.asarray(direct) - gathered).mean() < 0.05 * scale
+        # the subset batch stats are an unbiased estimate of the full ones
+        for k in ("bn1", "bn2"):
+            mf = np.asarray(st_f["batch_stats"][k]["mean"])
+            mv = np.asarray(st_v["batch_stats"][k]["mean"])
+            vf = np.asarray(st_f["batch_stats"][k]["var"])
+            vv = np.asarray(st_v["batch_stats"][k]["var"])
+            # mean shifts measured in units of the feature std (the scale BN
+            # actually normalizes by); variances relatively
+            assert (np.abs(mv - mf) / np.sqrt(vf + 1e-5)).mean() < 0.1
+            assert np.abs(vv - vf).mean() < 0.15 * (np.abs(vf).mean() + 1e-3)
+
+    def test_distillation_forward_unchanged_shapes(self, rng):
+        pts = make_points(rng)
+        model = ACT_PointDistillation(tiny_pretrain_cfg())
+        variables = model.init(RNGS, pts)
+        loss = model.apply(variables, pts, train=True, rngs=RNGS,
+                           mutable=["batch_stats"])[0]
+        assert np.isfinite(float(loss[0] if isinstance(loss, tuple) else loss))
+
+
 class TestFastUniform:
     """fast_uniform (hardware rbg PRNG) must be a well-behaved U(minval, 1):
     the gumbel sampling paths (dvae.forward_tokenizer_features/__call__) rely
