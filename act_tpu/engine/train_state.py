@@ -59,6 +59,19 @@ def step_rngs(base_key: jax.Array, step: jax.Array) -> Dict[str, jax.Array]:
     return dict(zip(names, keys))
 
 
+def _with_kernel_mesh(fn: Callable, mesh) -> Callable:
+    """Activate the Pallas kernel-sharding mesh while the step body traces,
+    so the grouping/kNN/gather kernels run under shard_map over 'data'
+    instead of being all-gathered by GSPMD (ops/_backend.py)."""
+    from act_tpu.ops._backend import kernel_mesh
+
+    def wrapped(*args, **kwargs):
+        with kernel_mesh(mesh):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
                        mesh=None, loss_is_tuple: bool = False,
                        ema_momentum: Optional[float] = None) -> Callable:
@@ -119,7 +132,7 @@ def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
             metrics[f"loss_{i + 1}"] = l
         return state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(_with_kernel_mesh(train_step, mesh), donate_argnums=(0,))
 
 
 def make_multi_step(train_step: Callable, num_steps: int) -> Callable:
@@ -181,7 +194,7 @@ def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
         state = state.replace(batch_stats=new_vars["batch_stats"])
         return state, {"loss": loss, "recon": recon, "kld": kld}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(_with_kernel_mesh(train_step, mesh), donate_argnums=(0,))
 
 
 def make_finetune_step(model, transform_fn: Optional[Callable] = None,
@@ -214,7 +227,7 @@ def make_finetune_step(model, transform_fn: Optional[Callable] = None,
         state = state.replace(batch_stats=new_vars["batch_stats"])
         return state, {"loss": loss, "acc": acc}
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(_with_kernel_mesh(train_step, mesh), donate_argnums=(0,))
 
 
 def make_eval_step(model, method=None) -> Callable:

@@ -112,6 +112,9 @@ class _QKVProj(nn.Module):
                 y = y + b[col0:col0 + C].reshape(1, H, 1, hd).astype(dt)
             return y
 
+        # three separate contractions measured faster than a fused kv einsum
+        # ('bnc,cthd->tbhnd' costs an output relayout: 4017 vs 4140
+        # clouds/sec on the Stage-II bench)
         return head_proj(xq, 0), head_proj(x, C), head_proj(x, 2 * C)
 
 

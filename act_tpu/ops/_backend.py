@@ -33,3 +33,57 @@ def interpret_flag() -> bool:
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip partitioning of Pallas kernels.
+#
+# A pallas_call is an opaque custom-call to GSPMD: with batch-sharded inputs
+# the SPMD partitioner conservatively all-gathers them and runs the full
+# kernel on every chip. All kernels here are batch-parallel (grid over rows /
+# batch items), so the step factories activate ``kernel_mesh(mesh)`` while
+# tracing and the op dispatchers run the kernels under ``shard_map`` over the
+# 'data' axis — each chip runs its own shard, no collectives. Single-device
+# meshes (and the CPU reference paths) are unaffected.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_MESH_STACK = [None]
+
+
+@contextlib.contextmanager
+def kernel_mesh(mesh):
+    """Activate ``mesh`` for Pallas-kernel sharding while tracing a step."""
+    _MESH_STACK.append(mesh)
+    try:
+        yield
+    finally:
+        _MESH_STACK.pop()
+
+
+def current_kernel_mesh():
+    """The active mesh, or None when kernels should run unsharded."""
+    m = _MESH_STACK[-1]
+    if m is None:
+        return None
+    try:
+        if m.shape.get("data", 1) <= 1:
+            return None
+    except Exception:
+        return None
+    return m
+
+
+def shard_over_batch(mesh, fn, *args):
+    """Run ``fn`` under shard_map with every arg/output sharded on dim 0 over
+    the 'data' axis. Falls back to the unsharded call when the batch does not
+    divide the axis (e.g. ragged eval remainders)."""
+    n = mesh.shape["data"]
+    if any(a.shape[0] % n != 0 for a in args):
+        return fn(*args)
+    from jax.sharding import PartitionSpec
+    from jax import shard_map
+    spec = PartitionSpec("data")
+    return shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                     check_vma=False)(*args)

@@ -118,6 +118,10 @@ def _nn_dense(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def _nearest(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     N, M = x.shape[-2], y.shape[-2]
     if use_pallas() and N * M > _DENSE_LIMIT:
+        from act_tpu.ops._backend import current_kernel_mesh, shard_over_batch
+        mesh = current_kernel_mesh()
+        if mesh is not None:
+            return shard_over_batch(mesh, _nn_pallas, x, y)
         return _nn_pallas(x, y)
     return _nn_dense(x, y)
 

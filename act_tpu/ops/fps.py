@@ -22,7 +22,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from act_tpu.ops.reference import furthest_point_sample_ref
-from act_tpu.ops._backend import use_pallas, interpret_flag, round_up
+from act_tpu.ops._backend import (current_kernel_mesh, interpret_flag,
+                                  round_up, shard_over_batch, use_pallas)
 
 
 def _fps_kernel(n_points: int, n_samples: int, pts_ref, out_ref, dist_ref):
@@ -183,5 +184,9 @@ def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
     (0.05ms vs 4.2ms at B=128, N=1024, S=64 on v5e).
     """
     if use_pallas():
+        mesh = current_kernel_mesh()
+        if mesh is not None:
+            return shard_over_batch(
+                mesh, lambda p: _fps_pallas_batched(p, n_samples), points)
         return _fps_pallas_batched(points, n_samples)
     return furthest_point_sample_ref(points, n_samples)

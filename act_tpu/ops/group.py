@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from act_tpu.ops.fps import furthest_point_sample
 from act_tpu.ops.topk import k_smallest_pallas
-from act_tpu.ops._backend import use_pallas
+from act_tpu.ops._backend import (current_kernel_mesh, kernel_mesh,
+                                  shard_over_batch, use_pallas)
 from act_tpu.ops.reference import (gather_coords, gather_points, knn_ref,
                                    square_distance)
 
@@ -29,8 +30,8 @@ def _use_approx_knn() -> bool:
     return os.environ.get("ACT_TPU_KNN", "").lower() == "approx"
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int):
+@partial(jax.jit, static_argnames=("k", "mesh"))
+def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int, mesh=None):
     """TPU kNN: exact k-smallest Pallas extraction over the MXU distance
     matrix (ops/topk.py). For k << N the iterative extract-min kernel avoids
     the full bitonic sort over N lanes that both ``lax.top_k`` and
@@ -41,17 +42,18 @@ def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int):
     if _use_approx_knn():
         dist, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
         return dist, idx.astype(jnp.int32)
+    if mesh is not None:
+        return shard_over_batch(mesh, lambda dd: k_smallest_pallas(dd, k), d)
     return k_smallest_pallas(d, k)
 
 
 def knn(ref_points: jax.Array, query: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """k nearest neighbors: (B,N,C) ref, (B,S,C) query -> (sq dists, idx) (B,S,k)."""
     if use_pallas():  # i.e. running on real TPU
-        return _knn_tpu(ref_points, query, k)
+        return _knn_tpu(ref_points, query, k, current_kernel_mesh())
     return knn_ref(ref_points, query, k)
 
 
-@partial(jax.jit, static_argnames=("num_group", "group_size"))
 def group_points(xyz: jax.Array, num_group: int, group_size: int
                  ) -> Tuple[jax.Array, jax.Array]:
     """xyz: (B, N, 3) -> (neighborhood (B, G, M, 3) center-normalized, center (B, G, 3)).
@@ -59,15 +61,23 @@ def group_points(xyz: jax.Array, num_group: int, group_size: int
     Matches reference Group.forward (models/dvae.py:161-183): FPS to G centers, kNN of
     size M around each center, gather, subtract center.
     """
-    center_idx = furthest_point_sample(xyz, num_group)  # (B, G)
-    center = gather_points(xyz, center_idx)  # (B, G, 3)
-    _, idx = knn(xyz, center, group_size)  # (B, G, M)
-    neighborhood = gather_coords(xyz, idx)  # (B, G, M, 3), Pallas on TPU
+    # the active kernel mesh is part of the jit cache key (a trace under a
+    # mesh bakes shard_maps into the program)
+    return _group_points(xyz, num_group, group_size, current_kernel_mesh())
+
+
+@partial(jax.jit, static_argnames=("num_group", "group_size", "mesh"))
+def _group_points(xyz: jax.Array, num_group: int, group_size: int, mesh
+                  ) -> Tuple[jax.Array, jax.Array]:
+    with kernel_mesh(mesh):
+        center_idx = furthest_point_sample(xyz, num_group)  # (B, G)
+        center = gather_points(xyz, center_idx)  # (B, G, 3)
+        _, idx = knn(xyz, center, group_size)  # (B, G, M)
+        neighborhood = gather_coords(xyz, idx)  # (B, G, M, 3), Pallas on TPU
     neighborhood = neighborhood - center[:, :, None, :]
     return neighborhood, center
 
 
-@partial(jax.jit, static_argnames=("k",))
 def graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int = 4) -> jax.Array:
     """DGCNN neighbor indices: for each query position, the k nearest key positions.
 
@@ -75,10 +85,19 @@ def graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int = 4) -> jax.A
     DGCNN.get_graph_feature's KNN(k=4) call (models/dvae.py:59-79); neighbor features
     are then gathered and concatenated as (nbr - self, self) by the model code.
     """
+    return _graph_feature_idx(coor_k, coor_q, k, current_kernel_mesh())
+
+
+@partial(jax.jit, static_argnames=("k", "mesh"))
+def _graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int,
+                       mesh) -> jax.Array:
     d = square_distance(coor_q, coor_k)
     if use_pallas():
         if _use_approx_knn():
             _, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
+        elif mesh is not None:
+            _, idx = shard_over_batch(
+                mesh, lambda dd: k_smallest_pallas(dd, k), d)
         else:
             _, idx = k_smallest_pallas(d, k)
         return idx.astype(jnp.int32)

@@ -248,6 +248,74 @@ class TestPallasInterpret:
         np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_r), atol=1e-4)
 
 
+@pytest.mark.pallas
+class TestKernelShardMap:
+    """Pallas kernels under shard_map over an 8-device 'data' axis (interpret
+    mode): multi-chip runs must partition the kernels per shard instead of
+    GSPMD all-gathering through the opaque custom-calls. Results must be
+    identical to the unsharded kernels."""
+
+    def setup_method(self, method):
+        os.environ["ACT_TPU_PALLAS"] = "interpret"
+
+    def teardown_method(self, method):
+        os.environ.pop("ACT_TPU_PALLAS", None)
+
+    def _mesh(self):
+        from act_tpu.parallel import make_mesh
+        return make_mesh()  # ('data', 'model') over the 8 CPU devices
+
+    def test_group_points_sharded_matches_unsharded(self, rng):
+        from act_tpu.ops._backend import kernel_mesh
+        pts = jnp.asarray(rng.normal(size=(16, 512, 3)).astype(np.float32))
+        nbr0, c0 = ops.group_points(pts, 32, 16)
+        with kernel_mesh(self._mesh()):
+            nbr1, c1 = ops.group_points(pts, 32, 16)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_array_equal(np.asarray(nbr0), np.asarray(nbr1))
+
+    def test_fps_knn_sharded_match(self, rng):
+        from act_tpu.ops._backend import kernel_mesh
+        pts = jnp.asarray(rng.normal(size=(8, 300, 3)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(8, 40, 3)).astype(np.float32))
+        i0 = ops.furthest_point_sample(pts, 16)
+        _, k0 = ops.knn(pts, q, 8)
+        with kernel_mesh(self._mesh()):
+            i1 = ops.furthest_point_sample(pts, 16)
+            _, k1 = ops.knn(pts, q, 8)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+    def test_ragged_batch_falls_back(self, rng):
+        """Batch not divisible by the data axis: unsharded fallback, same values."""
+        from act_tpu.ops._backend import kernel_mesh
+        pts = jnp.asarray(rng.normal(size=(3, 300, 3)).astype(np.float32))
+        i0 = ops.furthest_point_sample(pts, 16)
+        with kernel_mesh(self._mesh()):
+            i1 = ops.furthest_point_sample(pts, 16)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_sharded_inside_jit_with_sharded_input(self, rng):
+        """End-to-end: sharded batch into a jitted fn whose body runs
+        group_points under the kernel mesh."""
+        from act_tpu.ops._backend import kernel_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self._mesh()
+        pts = jnp.asarray(rng.normal(size=(16, 512, 3)).astype(np.float32))
+        ref_n, ref_c = ops.group_points(pts, 32, 16)
+        sharded = jax.device_put(pts, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        def fn(x):
+            with kernel_mesh(mesh):
+                nbr, center = ops.group_points(x, 32, 16)
+            return nbr.sum(), center
+
+        s, center = fn(sharded)
+        np.testing.assert_allclose(float(s), float(ref_n.sum()), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(center), np.asarray(ref_c))
+
+
 class TestGatherPallas:
     def setup_method(self, method):
         os.environ["ACT_TPU_PALLAS"] = "interpret"
