@@ -143,7 +143,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
         if best:
             best_metrics = Metrics(config.consider_metric, best)
 
-    train_step = make_autoencoder_step(model, transform_fn=None, mesh=mesh)
+    train_step = make_autoencoder_step(model, transform_fn=None, mesh=mesh,
+                                   trainable_mask=trainable if frozen else None)
 
     max_steps = 2 if smoke else None
     n_itr = start_epoch * steps_per_epoch

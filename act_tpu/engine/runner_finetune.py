@@ -82,7 +82,8 @@ def build_state(args, config, logger, steps_per_epoch):
                 jax.device_get(state.batch_stats), loaded_bs, logger=logger)
             state = state.replace(batch_stats=merged_bs)
         print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
-    return model, state, schedule, root_key
+    return model, state, schedule, root_key, (
+        trainable if transfer != "full" else None)
 
 
 def run_net(args, config, train_writer=None, val_writer=None):
@@ -102,15 +103,16 @@ def run_net(args, config, train_writer=None, val_writer=None):
     _, val_loader = engine_builder.dataset_builder(args, config.dataset.val)
     steps_per_epoch = max(len(train_loader), 1)
 
-    model, state, schedule, root_key = build_state(args, config, logger,
-                                                   steps_per_epoch)
+    model, state, schedule, root_key, frozen_mask = build_state(
+        args, config, logger, steps_per_epoch)
 
     def train_transform(key, pts):
         k1, k2 = jax.random.split(key)
         pts = ops.fps_subsample(pts, _point_all(npoints), npoints, k1)
         return T.rotate_y(k2, pts)  # reference train default (:19-29)
 
-    train_step = make_finetune_step(model, transform_fn=train_transform, mesh=mesh)
+    train_step = make_finetune_step(model, transform_fn=train_transform,
+                                    mesh=mesh, trainable_mask=frozen_mask)
 
     @jax.jit
     def infer_step(variables, pts):
@@ -253,7 +255,7 @@ def test_net(args, config):
     npoints = int(config.npoints)
     config.dataset.test.others.bs = config.total_bs * 2
     _, test_loader = engine_builder.dataset_builder(args, config.dataset.test)
-    model, state, schedule, root_key = build_state(args, config, logger, 1)
+    model, state, schedule, root_key, _ = build_state(args, config, logger, 1)
 
     @jax.jit
     def infer_step(variables, pts):

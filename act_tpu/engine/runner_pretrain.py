@@ -217,7 +217,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
     train_step = make_pretrain_step(
         model, transform_fn=pretrain_transform, mesh=mesh,
         loss_is_tuple=is_pointbert,
-        ema_momentum=float(config.model.m) if is_pointbert else None)
+        ema_momentum=float(config.model.m) if is_pointbert else None,
+        trainable_mask=trainable)
     scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
     if smoke:
         scan_steps = 1  # smoke runs exactly max_steps single steps

@@ -59,6 +59,21 @@ def step_rngs(base_key: jax.Array, step: jax.Array) -> Dict[str, jax.Array]:
     return dict(zip(names, keys))
 
 
+def stop_frozen(params, trainable_mask):
+    """stop_gradient on frozen leaves — the JAX analog of torch
+    ``requires_grad=False``. The optax ``set_to_zero`` mask already discards
+    frozen updates, but only AFTER jax has computed their gradients; stopping
+    the gradient at the parameter lets XLA dead-code-eliminate the frozen
+    subtree's weight-gradient matmuls entirely (e.g. the 12-layer ViT-B
+    teacher's wgrads in Stage I, the whole backbone in linear-probe
+    finetuning). Loss values and trainable gradients are bit-identical."""
+    if trainable_mask is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda p, t: p if t else jax.lax.stop_gradient(p),
+        params, trainable_mask)
+
+
 def _with_kernel_mesh(fn: Callable, mesh) -> Callable:
     """Activate the Pallas kernel-sharding mesh while the step body traces,
     so the grouping/kNN/gather kernels run under shard_map over 'data'
@@ -74,7 +89,8 @@ def _with_kernel_mesh(fn: Callable, mesh) -> Callable:
 
 def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
                        mesh=None, loss_is_tuple: bool = False,
-                       ema_momentum: Optional[float] = None) -> Callable:
+                       ema_momentum: Optional[float] = None,
+                       trainable_mask=None) -> Callable:
     """Train step for ACT_PointDistillation / ACT_PointBERT.
 
     transform_fn(key, pts) applies the batch augmentation inside the program.
@@ -95,7 +111,7 @@ def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
             rngs.pop("augment")
 
         def loss_fn(params):
-            variables = {"params": params}
+            variables = {"params": stop_frozen(params, trainable_mask)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             if state.buffers:
@@ -162,7 +178,7 @@ def make_multi_step(train_step: Callable, num_steps: int) -> Callable:
 
 
 def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
-                          mesh=None) -> Callable:
+                          mesh=None, trainable_mask=None) -> Callable:
     """Stage-I dVAE step. temperature/kld_weight enter as traced scalars so the
     cosine anneals (tools/runner_autoencoder.py:18-53) don't retrigger compiles."""
 
@@ -179,7 +195,8 @@ def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
             rngs.pop("augment")
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+            variables = {"params": stop_frozen(params, trainable_mask),
+                         "batch_stats": state.batch_stats}
             ret, new_vars = model.apply(
                 variables, pts, temperature, False, train=True,
                 rngs=rngs, mutable=["batch_stats"])
@@ -198,7 +215,8 @@ def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
 
 
 def make_finetune_step(model, transform_fn: Optional[Callable] = None,
-                       mesh=None, num_classes: int = 0) -> Callable:
+                       mesh=None, num_classes: int = 0,
+                       trainable_mask=None) -> Callable:
     """Classification step (reference tools/runner_finetune.py:117-245)."""
     from act_tpu.models.point_transformer import get_loss_acc
 
@@ -215,7 +233,8 @@ def make_finetune_step(model, transform_fn: Optional[Callable] = None,
             rngs.pop("augment")
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+            variables = {"params": stop_frozen(params, trainable_mask),
+                         "batch_stats": state.batch_stats}
             logits, new_vars = model.apply(variables, pts, train=True,
                                            rngs=rngs, mutable=["batch_stats"])
             loss, acc = get_loss_acc(logits, labels)

@@ -57,7 +57,7 @@ def measure_throughput(batch: int, steps: int, warmup: int = 3,
     tx, _ = build_optimizer(train_cfg, variables["params"], 100, trainable)
     state = replicate(mesh, TrainState.create(variables, tx))
     step = make_pretrain_step(model, transform_fn=T.scale_and_translate,
-                              mesh=mesh)
+                              mesh=mesh, trainable_mask=trainable)
     key = jax.random.PRNGKey(0)
 
     # scan K steps per host dispatch (host-loop amortization; see

@@ -201,7 +201,18 @@ class TestLoaderWorkers:
             loader.close()
         print(f"loader throughput clouds/sec: {results}")
         # conservative floor — the measured pool rate is far above the
-        # ~2k clouds/sec the chip consumes
+        # chip's consumption; retry once because this wall-clock floor is
+        # machine-load dependent (observed one dip below under a full
+        # parallel suite on the 1-core CI container)
+        if results[4] <= 1000:
+            loader = DataLoader(ds, batch_size=128, shuffle=False,
+                                num_workers=4)
+            for _ in loader:
+                pass
+            t0 = time.perf_counter()
+            n = sum(pts.shape[0] for _, _, pts in loader)
+            results[4] = n / (time.perf_counter() - t0)
+            loader.close()
         assert results[4] > 1000, results
 
 

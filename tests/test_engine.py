@@ -25,6 +25,39 @@ def train_cfg(**over):
     return cfg
 
 
+class TestStopFrozen:
+    """stop_frozen (train_state.py): frozen leaves get exactly-zero gradients
+    (XLA DCEs their wgrads) while trainable gradients and the loss are
+    bit-identical to the unmasked computation."""
+
+    def test_grads_exact(self):
+        from act_tpu.engine.train_state import stop_frozen
+        import numpy as np
+        params = {"a": jnp.arange(6.0).reshape(2, 3) / 7,
+                  "frozen": {"w": jnp.ones((3, 2)) * 0.3},
+                  "b": jnp.ones((2,))}
+        mask = {"a": True, "frozen": {"w": False}, "b": True}
+        x = jnp.arange(4.0).reshape(2, 2) / 3
+
+        def loss(p):
+            h = x @ p["a"] @ p["frozen"]["w"] + p["b"]
+            return jnp.sum(jnp.tanh(h) ** 2)
+
+        l0, g0 = jax.value_and_grad(loss)(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(stop_frozen(p, mask)))(
+            params)
+        assert float(l0) == float(l1)
+        np.testing.assert_array_equal(np.asarray(g0["a"]), np.asarray(g1["a"]))
+        np.testing.assert_array_equal(np.asarray(g0["b"]), np.asarray(g1["b"]))
+        np.testing.assert_array_equal(np.asarray(g1["frozen"]["w"]), 0.0)
+        assert float(jnp.abs(g0["frozen"]["w"]).sum()) > 0  # was nonzero
+
+    def test_none_mask_is_identity(self):
+        from act_tpu.engine.train_state import stop_frozen
+        p = {"x": jnp.ones(3)}
+        assert stop_frozen(p, None) is p
+
+
 class TestOptimizer:
     def params(self):
         return {
