@@ -61,12 +61,13 @@ def step_rngs(base_key: jax.Array, step: jax.Array) -> Dict[str, jax.Array]:
 
 def stop_frozen(params, trainable_mask):
     """stop_gradient on frozen leaves — the JAX analog of torch
-    ``requires_grad=False``. The optax ``set_to_zero`` mask already discards
-    frozen updates, but only AFTER jax has computed their gradients; stopping
-    the gradient at the parameter lets XLA dead-code-eliminate the frozen
-    subtree's weight-gradient matmuls entirely (e.g. the 12-layer ViT-B
-    teacher's wgrads in Stage I, the whole backbone in linear-probe
-    finetuning). Loss values and trainable gradients are bit-identical."""
+    ``requires_grad=False``. Loss values and trainable gradients are
+    bit-identical (TestStopFrozen). Perf note: inside the whole-step jit this
+    is belt-and-suspenders — the frozen grads feed optax ``set_to_zero``,
+    which ignores its input, so XLA already dead-code-eliminates their wgrad
+    matmuls (measured: Stage-I step 59.2ms both ways). It matters for any
+    caller that materializes gradients outside the optimizer jit (probes,
+    grad logging) and documents intent at the graph level."""
     if trainable_mask is None:
         return params
     return jax.tree_util.tree_map(

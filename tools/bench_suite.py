@@ -237,7 +237,8 @@ def bench_op(op_fn, shape_args, label):
 
     gen = _device_normal(shape_args)
     mk = lambda i: (gen(i),)
-    return _diff_time(make_fn, mk)
+    # ops can be sub-0.1ms: longer chains lift them out of dispatch noise
+    return _diff_time(make_fn, mk, n_small=2, n_big=102)
 
 
 def main():

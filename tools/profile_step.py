@@ -23,6 +23,27 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def capture_workload(trace_dir: str, workload: str, steps: int = 3) -> None:
+    """Profile any bench_suite workload: PROFILE_WORKLOAD=dvae|finetune."""
+    import jax
+    import jax.numpy as jnp
+    import tools.bench_suite as bs
+    if workload == "dvae":
+        step, state, mk, extra, B = bs.setup_dvae()
+    elif workload == "finetune":
+        step, state, mk, extra, B, _, _ = bs.setup_finetune()
+    else:
+        raise SystemExit(f"unknown workload {workload}")
+    key = jax.random.PRNGKey(0)
+    for i in range(2):
+        state, metrics = step(state, mk(i), key, *extra)
+    _ = float(metrics["loss"])
+    with jax.profiler.trace(trace_dir):
+        for i in range(steps):
+            state, metrics = step(state, mk(10 + i), key, *extra)
+        _ = float(metrics["loss"])
+
+
 def capture(trace_dir: str, steps: int = 3) -> None:
     import jax
     import bench
@@ -118,7 +139,11 @@ def main():
     trace_dir = os.environ.get("PROFILE_DIR") or tempfile.mkdtemp(
         prefix="act_tpu_prof_")
     if not os.environ.get("PROFILE_REPORT_ONLY"):
-        capture(trace_dir)
+        wl = os.environ.get("PROFILE_WORKLOAD", "pretrain")
+        if wl == "pretrain":
+            capture(trace_dir)
+        else:
+            capture_workload(trace_dir, wl)
     print(f"# trace: {trace_dir}", file=sys.stderr)
     report(trace_dir, tool, top)
 
