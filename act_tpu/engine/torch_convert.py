@@ -65,14 +65,23 @@ def fold_encoder_conv_bias(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     it; see models/common.py) — eval outputs through converted stats stay
     exact. Applied automatically by :func:`convert_state_dict`."""
     out = dict(sd)
+    # (bn_running_mean_pattern, conv_bias_index_offset): first/second_conv
+    # pair conv .0 with bn .1; the FoldingNet final stack pairs .0->.1 and
+    # .3->.4 (reference Decoder final_conv, models/dvae.py:252-259)
+    pairs = [
+        (r"^(.*\.(?:first|second)_conv)\.1\.running_mean$", "0"),
+        (r"^(.*\.final_conv)\.1\.running_mean$", "0"),
+        (r"^(.*\.final_conv)\.4\.running_mean$", "3"),
+    ]
     for k in list(sd):
-        m = re.match(r"^(.*\.(?:first|second)_conv)\.1\.running_mean$", k)
-        if not m:
-            continue
-        bias_key = f"{m.group(1)}.0.bias"
-        if bias_key in sd:
-            out[k] = np.asarray(sd[k]) - np.asarray(sd[bias_key])
-            out.pop(bias_key, None)
+        for pat, conv_idx in pairs:
+            m = re.match(pat, k)
+            if not m:
+                continue
+            bias_key = f"{m.group(1)}.{conv_idx}.bias"
+            if bias_key in sd:
+                out[k] = np.asarray(out[k]) - np.asarray(sd[bias_key])
+                out.pop(bias_key, None)
     return out
 
 
@@ -144,7 +153,10 @@ def folding_decoder_rules(src: str, dst: str) -> List[Tuple[str, str, str]]:
                             ("final_conv.3", "final2", "conv1d"),
                             ("final_conv.6", "final3", "conv1d")]:
         R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/kernel", how))
-        R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
+        if tdst not in ("final1", "final2"):
+            # final1/final2 biases are folded into fbn running_mean by
+            # fold_encoder_conv_bias (the flax modules carry no bias)
+            R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))
     for tsrc, tdst in [("final_conv.1", "fbn1"), ("final_conv.4", "fbn2")]:
         R.append((rf"^{src}\.{tsrc}\.weight$", f"{dst}/{tdst}/scale", "none"))
         R.append((rf"^{src}\.{tsrc}\.bias$", f"{dst}/{tdst}/bias", "none"))

@@ -108,6 +108,13 @@ def _nn_pallas(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _nn_dense(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    N, M = x.shape[-2], y.shape[-2]
+    if N * M <= 4096:
+        # group regime (thousands of tiny clouds): the direct broadcast-
+        # subtract form runs on the VPU in one fusion; the expanded-square
+        # einsum becomes thousands of (N, 3, M) MXU matmuls at ~3% utilization
+        d = jnp.sum((x[:, :, None, :] - y[:, None, :, :]) ** 2, axis=-1)
+        return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
     d = ref_ops.square_distance(x, y)
     # the expanded form can go slightly negative for near-identical points;
     # clamp so downstream sqrt never NaNs
@@ -144,6 +151,13 @@ def _chamfer_fwd(x, y):
     return (d1, d2), (x, y, i1, i2)
 
 
+# row-count bound below which the one-hot contraction form wins: the one-hot
+# tensor (B, N, M) stays small and XLA keeps everything on the VPU/MXU, where
+# per-row DMA gathers/scatters at C=3 are descriptor-bound (profiled
+# 3.1ms/step for the Stage-I group-chamfer backward's take_along_axis alone)
+_ONEHOT_ROWS = 256
+
+
 def _batched_scatter_add(target: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
     """target: (B, M, 3), idx: (B, N), vals: (B, N, 3) -> scatter-added target."""
     B, N = idx.shape
@@ -154,8 +168,22 @@ def _batched_scatter_add(target: jax.Array, idx: jax.Array, vals: jax.Array) -> 
 def _chamfer_bwd(res, grads):
     x, y, i1, i2 = res
     g1, g2 = grads  # (B, N), (B, M)
-    y_near = jnp.take_along_axis(y, i1[:, :, None], axis=1)  # (B, N, 3)
-    x_near = jnp.take_along_axis(x, i2[:, :, None], axis=1)  # (B, M, 3)
+    N, M = x.shape[1], y.shape[1]
+    if max(N, M) <= _ONEHOT_ROWS:
+        # group regime (thousands of tiny clouds): gather AND scatter-add as
+        # contractions against one-hot matrices — exact, no DMA descriptors
+        oh1 = (i1[:, :, None] == jnp.arange(M)[None, None, :]).astype(x.dtype)
+        oh2 = (i2[:, :, None] == jnp.arange(N)[None, None, :]).astype(x.dtype)
+        y_near = jnp.einsum("bnm,bmc->bnc", oh1, y)
+        x_near = jnp.einsum("bmn,bnc->bmc", oh2, x)
+        v1 = 2.0 * (x - y_near) * g1[:, :, None]   # d dist1 / dx
+        v2 = 2.0 * (y - x_near) * g2[:, :, None]   # d dist2 / dy
+        dx = v1 - jnp.einsum("bmn,bmc->bnc", oh2, v2)
+        dy = v2 - jnp.einsum("bnm,bnc->bmc", oh1, v1)
+        return dx, dy
+    # whole-cloud regime: Pallas one-hot gather kernel + scatter-add
+    y_near = ref_ops.gather_coords(y, i1)  # (B, N, 3)
+    x_near = ref_ops.gather_coords(x, i2)  # (B, M, 3)
     v1 = 2.0 * (x - y_near) * g1[:, :, None]   # d dist1 / dx
     v2 = 2.0 * (y - x_near) * g2[:, :, None]   # d dist2 / dy
     dx = v1

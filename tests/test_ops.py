@@ -128,6 +128,24 @@ class TestChamferVJP:
         np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), atol=1e-4)
 
+    def test_gradcheck_large_regime(self, rng):
+        """Same check past the one-hot threshold (gather/scatter bwd path)."""
+        x = jnp.asarray(rng.normal(size=(1, 300, 3)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(1, 270, 3)).astype(np.float32))
+
+        def loss_custom(x, y):
+            d1, d2 = ops.chamfer_distances(x, y)
+            return jnp.sum(d1 * 1.3) + jnp.sum(d2 * 0.7)
+
+        def loss_dense(x, y):
+            d = ops.square_distance(x, y)
+            return jnp.sum(jnp.min(d, -1) * 1.3) + jnp.sum(jnp.min(d, -2) * 0.7)
+
+        gx1, gy1 = jax.grad(loss_custom, argnums=(0, 1))(x, y)
+        gx2, gy2 = jax.grad(loss_dense, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy2), atol=1e-4)
+
     def test_l1_l2_reductions(self, rng):
         x = jnp.asarray(rng.normal(size=(3, 8, 3)).astype(np.float32))
         y = jnp.asarray(rng.normal(size=(3, 8, 3)).astype(np.float32))
