@@ -115,6 +115,8 @@ def _fps_kernel_batched(n_points: int, n_samples: int,
     dist_ref[:] = jnp.where(valid, jnp.float32(3.4e38), jnp.float32(-1.0))
 
     def select_coords(idx_col):
+        # one compare+convert pass, three masked reduces (profiled ~15% of
+        # the S-loop at the finetune 8192-pt regime when done as 3x each)
         onehot = (lane == idx_col).astype(jnp.float32)  # (Bc, Npad)
         return (jnp.sum(x * onehot, axis=1, keepdims=True),
                 jnp.sum(y * onehot, axis=1, keepdims=True),

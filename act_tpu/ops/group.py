@@ -106,19 +106,24 @@ def _graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int,
 
 
 def fps_subsample(xyz: jax.Array, n_fps: int, n_out: int, key: jax.Array) -> jax.Array:
-    """FPS to ``n_fps`` points then a random ``n_out``-subset — the reference's
-    finetune-time resampling trick (tools/runner_finetune.py:141-157).
+    """FPS to ``n_fps`` points then a random ``n_out``-subset in random order —
+    the reference's finetune-time resampling trick
+    (tools/runner_finetune.py:141-157: ``fps_idx[:, np.random.choice(
+    point_all, npoints, False)]`` — the choice both subsets AND shuffles).
 
     xyz: (B, N, 3) -> (B, n_out, 3). ``n_fps`` is capped at N like the
-    reference's `if points.size(1) < point_all` guard (:151-152) — FPS beyond N
-    would flood the output with duplicates of point 0.
-    """
-    n_fps = min(n_fps, xyz.shape[1])
-    idx = furthest_point_sample(xyz, n_fps)  # (B, n_fps)
-    pts = gather_coords(xyz, idx)
-    if n_out == n_fps:
-        return pts
-    B = xyz.shape[0]
+    reference's `if points.size(1) < point_all` guard (:151-152). When the cap
+    hits (n_fps == N, e.g. real 2048-pt ScanObjectNN at npoints=2048), FPS
+    over ALL N points is just a reordering, and composed with the uniform
+    random choice the result is a uniformly random subset in uniformly random
+    order — identical distribution without the O(S*N) kernel."""
+    B, N = xyz.shape[:2]
+    n_fps = min(n_fps, N)
+    if n_fps == N:
+        pts = xyz
+    else:
+        idx = furthest_point_sample(xyz, n_fps)  # (B, n_fps)
+        pts = gather_coords(xyz, idx)
     keys = jax.random.split(key, B)
     sub = jax.vmap(lambda kk: jax.random.permutation(kk, n_fps)[:n_out])(keys)
     return jnp.take_along_axis(pts, sub[:, :, None], axis=1)

@@ -444,6 +444,26 @@ class TestFpsSubsampleDistribution:
     per-sample marginal is identical: every FPS point kept with probability
     n_out/n_fps, uniformly."""
 
+    def test_capped_full_n_is_random_permutation_subset(self):
+        """n_fps >= N (reference's point_all cap): output must be a random
+        n_out-subset of the input points, shuffled — FPS degenerates to a
+        reordering there and is skipped."""
+        from act_tpu import ops
+        B, N, n_out = 3, 64, 48
+        pts = np.random.default_rng(0).normal(size=(B, N, 3)).astype(np.float32)
+        out = np.asarray(ops.fps_subsample(jnp.asarray(pts), 2400, n_out,
+                                           jax.random.PRNGKey(0)))
+        out2 = np.asarray(ops.fps_subsample(jnp.asarray(pts), 2400, n_out,
+                                            jax.random.PRNGKey(1)))
+        assert out.shape == (B, n_out, 3)
+        assert np.abs(out - out2).max() > 1e-6  # key-dependent shuffle
+        for b in range(B):
+            # every output point is an input point, no duplicates
+            d = np.linalg.norm(out[b][:, None] - pts[b][None], axis=-1)
+            src = np.argmin(d, axis=1)
+            assert np.min(d, axis=1).max() < 1e-6
+            assert len(set(src.tolist())) == n_out
+
     def test_marginal_inclusion_uniform(self):
         from act_tpu import ops
         B, N, n_fps, n_out = 4, 256, 128, 64
