@@ -149,8 +149,12 @@ def _fps_pallas_batched(points: jax.Array, n_samples: int) -> jax.Array:
     B, N, _ = points.shape
     npad = round_up(N, 128)
     spad = round_up(n_samples, 128)
-    # chunk rows so 4 (Bc, Npad) f32 planes stay well under VMEM
-    chunk = max(8, min(256, (4 * 1024 * 1024) // (4 * npad)))
+    # chunk rows by the TOTAL VMEM working set: 4 f32 (Bc, Npad) planes
+    # (x/y/z + dist scratch) + the (Bc, Spad) index tile + input double
+    # buffering — budgeting one plane at 4MB OOM'd scoped vmem (16MB) at the
+    # SVM-probe shapes (B=256, N=8192)
+    budget_elems = (10 * 1024 * 1024) // 4
+    chunk = max(8, min(256, (budget_elems // (5 * npad)) // 8 * 8))
     chunk = min(chunk, round_up(B, 8))
     bpad = round_up(B, chunk)
 

@@ -69,8 +69,11 @@ def k_smallest_pallas(d: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     d2 = jax.lax.stop_gradient(d).astype(jnp.float32).reshape(rows, n)
     npad = round_up(n, 128)
     kpad = round_up(k, 128)
-    # two (chunk, Npad) f32 planes (input tile + scratch) well under VMEM
-    chunk = max(8, min(512, (4 * 1024 * 1024) // (4 * npad)))
+    # chunk rows by the TOTAL VMEM working set: input tile + scratch f32
+    # planes + input double buffering (~3 planes); see the sizing note in
+    # fps.py — a single-plane budget OOMs scoped vmem at large N
+    budget_elems = (9 * 1024 * 1024) // 4
+    chunk = max(8, min(512, (budget_elems // (3 * npad)) // 8 * 8))
     chunk = min(chunk, round_up(rows, 8))
     rpad = round_up(rows, chunk)
     if rpad != rows or npad != n:
