@@ -96,14 +96,15 @@ def strip_student_prefix(src: dict) -> dict:
 
 def fold_legacy_encoder_bias(params: dict, batch_stats: dict):
     """Compatibility shim for flax checkpoints saved before GroupEncoder's
-    conv1/conv3 dropped their biases: fold each legacy bias into the adjacent
-    BN running_mean (rm' = rm - b, exact in eval) and remove the bias so
-    merge_pretrained doesn't silently drop it while keeping the stale mean.
-    Mutates + returns (params, batch_stats)."""
+    conv1/conv3 and FoldingDecoder's final1/final2 dropped their biases: fold
+    each legacy bias into the adjacent BN running_mean (rm' = rm - b, exact
+    in eval) and remove the bias so merge_pretrained doesn't silently drop it
+    while keeping the stale mean. Mutates + returns (params, batch_stats)."""
     def walk(p, bs):
         if not isinstance(p, dict):
             return
-        for conv, bn in (("conv1", "bn1"), ("conv3", "bn2")):
+        for conv, bn in (("conv1", "bn1"), ("conv3", "bn2"),
+                         ("final1", "fbn1"), ("final2", "fbn2")):
             node = p.get(conv)
             if (isinstance(node, dict) and "bias" in node
                     and isinstance(bs, dict) and bn in bs

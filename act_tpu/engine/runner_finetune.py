@@ -59,9 +59,11 @@ def build_state(args, config, logger, steps_per_epoch):
 
     transfer = config.model.get("transfer_type", "full")
     trainable = trainable_mask(variables["params"], transfer)
+    # one mask for BOTH the optimizer (set_to_zero) and the step's
+    # stop_gradient so the two can never diverge
+    frozen_mask = trainable if transfer != "full" else None
     tx, schedule = engine_builder.build_optimizer(
-        config, variables["params"], steps_per_epoch,
-        trainable if transfer != "full" else None)
+        config, variables["params"], steps_per_epoch, frozen_mask)
     state = TrainState.create(variables, tx)
 
     if getattr(args, "ckpts", None) and not args.resume:
@@ -82,8 +84,7 @@ def build_state(args, config, logger, steps_per_epoch):
                 jax.device_get(state.batch_stats), loaded_bs, logger=logger)
             state = state.replace(batch_stats=merged_bs)
         print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
-    return model, state, schedule, root_key, (
-        trainable if transfer != "full" else None)
+    return model, state, schedule, root_key, frozen_mask
 
 
 def run_net(args, config, train_writer=None, val_writer=None):

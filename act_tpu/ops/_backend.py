@@ -63,14 +63,12 @@ def kernel_mesh(mesh):
 
 
 def current_kernel_mesh():
-    """The active mesh, or None when kernels should run unsharded."""
+    """The active mesh, or None when kernels should run unsharded (no mesh,
+    or a single-device 'data' axis). A mesh without a 'data' axis counts as
+    unsharded; anything else malformed should raise, not silently disable
+    kernel sharding."""
     m = _MESH_STACK[-1]
-    if m is None:
-        return None
-    try:
-        if m.shape.get("data", 1) <= 1:
-            return None
-    except Exception:
+    if m is None or m.shape.get("data", 1) <= 1:
         return None
     return m
 

@@ -359,3 +359,22 @@ class TestLegacyCkptCompat:
         np.testing.assert_allclose(bs["encoder"]["bn1"]["mean"], 0.5)
         # conv2 (no adjacent BN rule) untouched
         assert "bias" in params["encoder"]["conv2"]
+
+    def test_fold_legacy_decoder_bias(self):
+        """FoldingDecoder final1/final2 dropped their biases too; legacy flax
+        ckpts fold them into fbn1/fbn2 running means on load."""
+        from act_tpu.engine.checkpoint import fold_legacy_encoder_bias
+        params = {"decoder": {"final1": {"kernel": np.ones((4, 8)),
+                                         "bias": np.full(8, 0.25)},
+                              "final2": {"kernel": np.ones((8, 8)),
+                                         "bias": np.full(8, -1.0)},
+                              "final3": {"kernel": np.ones((8, 3)),
+                                         "bias": np.zeros(3)}}}
+        bs = {"decoder": {"fbn1": {"mean": np.ones(8), "var": np.ones(8)},
+                          "fbn2": {"mean": np.zeros(8), "var": np.ones(8)}}}
+        params, bs = fold_legacy_encoder_bias(params, bs)
+        assert "bias" not in params["decoder"]["final1"]
+        assert "bias" not in params["decoder"]["final2"]
+        np.testing.assert_allclose(bs["decoder"]["fbn1"]["mean"], 0.75)
+        np.testing.assert_allclose(bs["decoder"]["fbn2"]["mean"], 1.0)
+        assert "bias" in params["decoder"]["final3"]  # no BN follows final3

@@ -177,7 +177,8 @@ def setup_finetune():
     variables = jax.jit(lambda: model.init(rngs, sample))()
     tx, _ = engine_builder.build_optimizer(cfg, variables["params"], 100)
     state = replicate(mesh, TrainState.create(variables, tx))
-    point_all = 1200 if npoints == 1024 else 2400 if npoints == 2048 else npoints
+    from act_tpu.engine.runner_finetune import _point_all
+    point_all = _point_all(npoints)
 
     def train_transform(key, pts):
         k1, k2 = jax.random.split(key)

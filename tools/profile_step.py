@@ -45,44 +45,22 @@ def capture_workload(trace_dir: str, workload: str, steps: int = 3) -> None:
 
 
 def capture(trace_dir: str, steps: int = 3) -> None:
+    """Profile the Stage-II pretrain multi-step program (bench.py shapes),
+    reusing the bench_suite setup so the profiled program IS the bench
+    program."""
     import jax
-    import bench
-
-    # warm up (compile) outside the trace, then trace a few dispatches
     import jax.numpy as jnp
     import numpy as np
-    import __graft_entry__ as ge
-    from act_tpu.models import MODELS
-    from act_tpu.parallel import make_mesh, replicate
-    from act_tpu.engine.train_state import (TrainState, make_pretrain_step,
-                                            make_multi_step)
-    from act_tpu.engine.builder import (build_optimizer, cast_frozen_bf16,
-                                        freeze_mask_from_paths)
-    from act_tpu.datasets import transforms as T
-    from act_tpu.utils.config import ConfigDict
+    import tools.bench_suite as bs
+    from act_tpu.engine.train_state import make_multi_step
     from jax.sharding import NamedSharding, PartitionSpec as P
+    from act_tpu.parallel import make_mesh
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    step, state, mk, extra, batch = bs.setup_pretrain()
     K = int(os.environ.get("BENCH_SCAN_STEPS", "8"))
-    cfg = ge._pretrain_cfg(tiny=False)
-    model = MODELS.build(cfg)
+    multi = make_multi_step(step, K)
     mesh = make_mesh()
     rng = np.random.default_rng(0)
-    pts = jnp.asarray(rng.normal(size=(batch, 1024, 3)), dtype=jnp.float32)
-    variables = jax.jit(lambda: model.init(ge._rngs(), pts))()
-    train_cfg = ConfigDict(dict(
-        optimizer=dict(type="AdamW", kwargs=dict(lr=1e-3, weight_decay=0.05)),
-        scheduler=dict(type="CosLR", kwargs=dict(epochs=300, initial_epochs=10)),
-        step_per_update=1))
-    trainable = freeze_mask_from_paths(variables["params"], ["dvae_tokenizer"])
-    variables = {**variables,
-                 "params": cast_frozen_bf16(variables["params"],
-                                            ["dvae_tokenizer"])}
-    tx, _ = build_optimizer(train_cfg, variables["params"], 100, trainable)
-    state = replicate(mesh, TrainState.create(variables, tx))
-    step = make_pretrain_step(model, transform_fn=T.scale_and_translate,
-                              mesh=mesh)
-    multi = make_multi_step(step, K)
     stacked = jnp.asarray(rng.normal(size=(K, batch, 1024, 3)),
                           dtype=jnp.float32)
     stacked = jax.device_put(stacked, NamedSharding(mesh, P(None, "data")))
@@ -91,11 +69,11 @@ def capture(trace_dir: str, steps: int = 3) -> None:
     with mesh:
         for _ in range(2):
             state, metrics = multi(state, stacked, key)
-        jax.block_until_ready(metrics["loss"])
+        _ = float(metrics["loss"])
         with jax.profiler.trace(trace_dir):
             for _ in range(steps):
                 state, metrics = multi(state, stacked, key)
-            jax.block_until_ready(metrics["loss"])
+            _ = float(metrics["loss"])
 
 
 def report(trace_dir: str, tool: str, top: int) -> None:
