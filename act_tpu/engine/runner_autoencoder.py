@@ -20,6 +20,7 @@ from act_tpu.engine import builder as engine_builder
 from act_tpu.engine import checkpoint as ckpt_lib
 from act_tpu.engine.train_state import TrainState, make_autoencoder_step
 from act_tpu.models import MODELS
+from act_tpu.ops._backend import set_default_kernel_mesh
 from act_tpu.parallel import make_mesh, shard_batch
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
@@ -106,6 +107,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     if smoke:
         config = _apply_smoke(config)
     mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+    set_default_kernel_mesh(mesh)  # shard Pallas kernels in ad-hoc eval jits too
 
     config.dataset.train.others.bs = config.total_bs
     config.dataset.val.others.bs = 1  # reference forces val bs=1 (main_autoencoder.py:46-47)

@@ -21,6 +21,7 @@ from act_tpu.engine import checkpoint as ckpt_lib
 from act_tpu.engine.train_state import TrainState, make_finetune_step, step_rngs
 from act_tpu.models import MODELS
 from act_tpu.models.point_transformer import trainable_mask
+from act_tpu.ops._backend import set_default_kernel_mesh
 from act_tpu.parallel import make_mesh, shard_batch
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
@@ -96,6 +97,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # few-shot configs leave cls_dim unset; it equals the N-way count
         config.model.cls_dim = int(getattr(args, "way", 0))
     mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+    set_default_kernel_mesh(mesh)  # shard Pallas kernels in ad-hoc eval jits too
     npoints = int(config.npoints)
 
     config.dataset.train.others.bs = config.total_bs

@@ -22,6 +22,7 @@ from act_tpu.engine import checkpoint as ckpt_lib
 from act_tpu.engine.train_state import (TrainState, make_multi_step,
                                         make_pretrain_step, step_rngs)
 from act_tpu.models import MODELS
+from act_tpu.ops._backend import set_default_kernel_mesh
 from act_tpu.parallel import make_mesh, shard_batch, is_main_process
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
@@ -128,6 +129,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
         config = _apply_smoke(config)
 
     mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+    set_default_kernel_mesh(mesh)  # shard Pallas kernels in ad-hoc eval jits too
 
     # datasets -----------------------------------------------------------
     config.dataset.train.others.bs = config.total_bs

@@ -62,6 +62,14 @@ def kernel_mesh(mesh):
         _MESH_STACK.pop()
 
 
+def set_default_kernel_mesh(mesh):
+    """Set the process-default mesh (stack base). Runners call this once
+    after building their mesh so the ad-hoc eval/infer jits (probe feat_step,
+    vote logits, whole-scene eval...) — not just the step factories — shard
+    their Pallas kernels on multi-chip meshes."""
+    _MESH_STACK[0] = mesh
+
+
 def current_kernel_mesh():
     """The active mesh, or None when kernels should run unsharded (no mesh,
     or a single-device 'data' axis). A mesh without a 'data' axis counts as
