@@ -27,7 +27,6 @@ from act_tpu.engine.builder import build_schedule
 from act_tpu.engine.train_state import TrainState, step_rngs
 from act_tpu.models import MODELS
 from act_tpu.models.segmentation import nll_seg_loss
-from act_tpu.parallel import make_mesh, shard_batch
 from act_tpu.utils.config import ConfigDict
 from act_tpu.utils.logger import print_log
 from act_tpu.utils.misc import set_random_seed
