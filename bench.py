@@ -110,7 +110,13 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    value = measure_throughput(batch=batch, steps=steps)
+    try:
+        value = measure_throughput(batch=batch, steps=steps)
+    except Exception as e:  # transient tunnel 500/SIGABRT (see CLAUDE.md)
+        print(f"# bench attempt 1 failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        time.sleep(20)
+        value = measure_throughput(batch=batch, steps=steps)
     try:
         cpu = cpu_baseline()
         vs = value / (5.0 * cpu)
