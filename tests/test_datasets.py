@@ -62,6 +62,97 @@ class TestDatasets:
         assert 0 <= label < 5
 
 
+class TestRealFormatParsers:
+    """The real on-disk parsers (not the synthetic fallback): tiny files in
+    each dataset's exact released format, loaded through the registry. This
+    is the 'archives appear -> config change only' claim made concrete."""
+
+    def test_shapenet_npy_and_split_files(self, tmp_path):
+        import os
+        root = tmp_path / "ShapeNet-55"
+        pc = tmp_path / "shapenet_pc"
+        os.makedirs(root), os.makedirs(pc)
+        rng = np.random.default_rng(0)
+        names = []
+        for i in range(3):
+            name = f"0{i:07d}-m{i}.npy"
+            np.save(pc / name, rng.normal(size=(600, 3)).astype(np.float32))
+            names.append(name)
+        (root / "train.txt").write_text("\n".join(names[:2]) + "\n")
+        (root / "test.txt").write_text(names[2] + "\n")
+        ds = DATASETS.build(shapenet_cfg(DATA_PATH=str(root),
+                                         PC_PATH=str(pc), npoints=128))
+        assert not ds.synthetic and len(ds) == 2
+        tax, mid, pts = ds[0]
+        assert tax == "00000000" and mid == "m0"
+        assert pts.shape == (128, 3)
+        assert np.linalg.norm(pts, axis=1).max() <= 1.0 + 1e-5
+        # whole=True concatenates test split (reference whole branch)
+        ds_whole = DATASETS.build(shapenet_cfg(DATA_PATH=str(root),
+                                               PC_PATH=str(pc), npoints=64,
+                                               whole=True))
+        assert len(ds_whole) == 3
+
+    def test_modelnet_txt_and_fps_cache(self, tmp_path):
+        import os
+        root = tmp_path / "modelnet"
+        rng = np.random.default_rng(1)
+        cats = ["airplane", "chair"]
+        ids = []
+        for c in cats:
+            os.makedirs(root / c)
+            for k in range(2):
+                sid = f"{c}_{k:04d}"
+                pts = rng.normal(size=(300, 6)).astype(np.float32)
+                np.savetxt(root / c / f"{sid}.txt", pts, delimiter=",")
+                ids.append(sid)
+        (root / "modelnet40_shape_names.txt").write_text("\n".join(cats) + "\n")
+        (root / "modelnet40_train.txt").write_text("\n".join(ids) + "\n")
+        cfg = ConfigDict(dict(NAME="ModelNet", DATA_PATH=str(root),
+                              N_POINTS=64, NUM_CATEGORY=40,
+                              USE_NORMALS=False, subset="train"))
+        ds = DATASETS.build(cfg)
+        assert not ds.synthetic and len(ds) == 4
+        _, _, (pts, label) = ds[0]
+        assert pts.shape == (64, 3) and label in (0, 1)
+        # the offline FPS cache was written and reloads identically
+        cache = root / "modelnet40_train_64pts_fps.dat"
+        assert cache.exists()
+        ds2 = DATASETS.build(cfg)
+        np.testing.assert_array_equal(
+            np.asarray(ds2.list_of_points[0]), np.asarray(ds.list_of_points[0]))
+
+    def test_scanobjectnn_h5(self, tmp_path):
+        import h5py
+        rng = np.random.default_rng(2)
+        with h5py.File(tmp_path / "training_objectdataset.h5", "w") as f:
+            f["data"] = rng.normal(size=(5, 2048, 3)).astype(np.float32)
+            f["label"] = np.arange(5)
+        cfg = ConfigDict(dict(NAME="ScanObjectNN", ROOT=str(tmp_path),
+                              subset="train"))
+        ds = DATASETS.build(cfg)
+        assert not ds.synthetic and len(ds) == 5
+        _, _, (pts, label) = ds[3]
+        assert pts.shape == (2048, 3) and label == 3
+
+    def test_fewshot_pkl(self, tmp_path):
+        import os
+        import pickle
+        rng = np.random.default_rng(3)
+        os.makedirs(tmp_path / "5way_10shot")
+        mk = lambda n: [(rng.normal(size=(128, 6)).astype(np.float32),
+                         i % 5, i % 5) for i in range(n)]
+        with open(tmp_path / "5way_10shot" / "0.pkl", "wb") as f:
+            pickle.dump({"train": mk(50), "test": mk(100)}, f)
+        cfg = ConfigDict(dict(NAME="ModelNetFewShot", DATA_PATH=str(tmp_path),
+                              N_POINTS=128, subset="test", way=5, shot=10,
+                              fold=0))
+        ds = DATASETS.build(cfg)
+        assert not ds.synthetic and len(ds) == 100
+        _, _, (pts, label) = ds[7]
+        assert pts.shape == (128, 3) and label == 2
+
+
 class TestLoader:
     def test_batching_and_epochs(self):
         ds = DATASETS.build(shapenet_cfg(npoints=32))

@@ -91,6 +91,65 @@ class TestSegDatasets:
         assert pts.shape == (128, 3)
         assert seg.min() >= 0 and seg.max() < 13
 
+    def test_partnormal_real_format(self, tmp_path):
+        """Tiny files in the released ShapeNetPart layout: category txt, json
+        splits, per-synset txt point files with a part-label column."""
+        import json as _json
+        import os
+        rng = np.random.default_rng(0)
+        synset = "02691156"  # Airplane
+        os.makedirs(tmp_path / synset)
+        os.makedirs(tmp_path / "train_test_split")
+        (tmp_path / "synsetoffset2category.txt").write_text(
+            f"Airplane\t{synset}\n")
+        ids = []
+        for k in range(3):
+            fid = f"model{k}"
+            pts = rng.normal(size=(200, 7)).astype(np.float32)
+            pts[:, 6] = rng.integers(0, 4, size=200)  # airplane parts 0-3
+            np.savetxt(tmp_path / synset / f"{fid}.txt", pts)
+            ids.append(f"shape_data/{synset}/{fid}")
+        for name, sub in (("shuffled_train_file_list.json", ids[:2]),
+                          ("shuffled_val_file_list.json", []),
+                          ("shuffled_test_file_list.json", ids[2:])):
+            (tmp_path / "train_test_split" / name).write_text(
+                _json.dumps(sub))
+        ds = PartNormalDataset(str(tmp_path), npoints=64, split="train")
+        assert not ds.synthetic and len(ds) == 2
+        pts, cls, seg = ds[0]
+        assert pts.shape == (64, 3) and cls == 0
+        assert set(np.unique(seg)).issubset({0, 1, 2, 3})
+        ds_t = PartNormalDataset(str(tmp_path), npoints=64, split="test")
+        assert len(ds_t) == 1
+
+    def test_s3dis_real_format(self, tmp_path):
+        """Room .npy files (N x 7: xyzrgb + label) in Area_* naming."""
+        rng = np.random.default_rng(1)
+        for name in ("Area_1_office.npy", "Area_5_office.npy"):
+            # dense enough that a 1x1m block holds >1024 points (the block
+            # sampler re-draws until it does)
+            room = rng.random((20000, 7)).astype(np.float32)
+            room[:, :2] *= 1.5  # 1.5m x 1.5m room footprint
+            room[:, 6] = rng.integers(0, 13, size=20000)
+            np.save(tmp_path / name, room)
+        ds = S3DISDataset("train", str(tmp_path), num_point=128)
+        assert not ds.synthetic
+        assert len(ds) > 0 and ds.labelweights.shape == (13,)
+        pts, seg = ds[0]
+        assert pts.shape == (128, 3)
+        assert seg.min() >= 0 and seg.max() < 13
+        ds_test = S3DISDataset("test", str(tmp_path), num_point=128,
+                               test_area=5)
+        assert len(ds_test.room_points) == 1  # only Area_5
+        # whole-scene eval path reads the same room files
+        ws = WholeSceneDataset(str(tmp_path), num_point=128, test_area=5)
+        assert not ws.synthetic and len(ws) == 1
+        covered = np.zeros(len(ws.semantic_labels[0]), bool)
+        for block, labels, sel in ws.blocks_for_scene(0):
+            assert block.shape == (128, 3)
+            covered[sel] = True
+        assert covered.mean() > 0.95
+
     def test_whole_scene_blocks_cover_points(self):
         ds = WholeSceneDataset("/nope", num_point=64)
         covered = np.zeros(len(ds.semantic_labels[0]), bool)
