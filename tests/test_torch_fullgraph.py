@@ -16,6 +16,7 @@ in the composed graphs (mask ordering, per-block pos add, teacher splice
 point, decoder token layout, loss reduction) fails these tests.
 """
 import math
+import os
 
 import numpy as np
 import pytest
@@ -401,6 +402,61 @@ class TorchPointTransformer(tnn.Module):
         x = self.norm(self.blocks(x, pos))
         concat_f = torch.cat([x[:, 0], x[:, 1:].max(1)[0]], dim=-1)
         return self.cls_head_finetune(concat_f)
+
+
+class TestConverterCLI:
+    @pytest.mark.slow
+    def test_pth_to_orbax_end_to_end(self, rng, tmp_path):
+        """The model_zoo recipe as executed: torch.save a full reference-layout
+        PointTransformer state dict, run tools/convert_checkpoint.py, load the
+        orbax result back, and check it matches the in-process conversion and
+        produces the same logits."""
+        import subprocess
+        import sys as _sys
+        torch.manual_seed(5)
+        tmodel = TorchPointTransformer().eval()
+        pth = tmp_path / "scan_hardest.pth"
+        torch.save({"base_model": tmodel.state_dict()}, pth)
+        dst = tmp_path / "scan_hardest.orbax"
+        r = subprocess.run(
+            [_sys.executable, "tools/convert_checkpoint.py", "--src", str(pth),
+             "--dst", str(dst), "--model", "PointTransformer",
+             "--head", "mlp-3"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        from act_tpu.engine import checkpoint as ckpt_lib
+        loaded = ckpt_lib.load_checkpoint(str(dst))
+        sd = {k: to_np(v) for k, v in tmodel.state_dict().items()}
+        params, batch_stats = tc.convert_state_dict(
+            sd, tc.point_transformer_rules(head="mlp-3"))
+        for want, got in (
+                (params, loaded["params"]),
+                (batch_stats, loaded["batch_stats"])):
+            fw = jax.tree_util.tree_leaves_with_path(want)
+            fg = dict((jax.tree_util.keystr(p), v) for p, v in
+                      jax.tree_util.tree_leaves_with_path(got))
+            assert len(fw) == len(fg)
+            for p, v in fw:
+                np.testing.assert_array_equal(
+                    np.asarray(v), np.asarray(fg[jax.tree_util.keystr(p)]))
+
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=EMBED, cls_dim=6,
+            num_group=G, group_size=M, encoder_dims=ENC_DIMS, depth=DEPTH,
+            num_heads=HEADS, drop_path_rate=0.0, transfer_type="full",
+            npoints=N))
+        fmodel = PointTransformer(cfg)
+        pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        got = np.asarray(fmodel.apply(
+            {"params": loaded["params"],
+             "batch_stats": loaded["batch_stats"]}, pts, train=False))
+        nbr, center = ops.group_points(pts, G, M)
+        with torch.no_grad():
+            expect = to_np(tmodel(torch.from_numpy(np.asarray(nbr)),
+                                  torch.from_numpy(np.asarray(center))))
+        np.testing.assert_allclose(got, expect, atol=2e-4)
 
 
 class TestPointTransformerFullGraph:
