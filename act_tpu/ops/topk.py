@@ -71,9 +71,11 @@ def k_smallest_pallas(d: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     kpad = round_up(k, 128)
     # chunk rows by the TOTAL VMEM working set: input tile + scratch f32
     # planes + input double buffering (~3 planes); see the sizing note in
-    # fps.py — a single-plane budget OOMs scoped vmem at large N
+    # fps.py — a single-plane budget OOMs scoped vmem at large N. Cap at 256
+    # rows: measured 1.49ms vs 1.98ms (chunk 512) per call at the (8192,
+    # 1024) k=32 bench shape — taller tiles pipeline worse.
     budget_elems = (9 * 1024 * 1024) // 4
-    chunk = max(8, min(512, (budget_elems // (3 * npad)) // 8 * 8))
+    chunk = max(8, min(256, (budget_elems // (3 * npad)) // 8 * 8))
     chunk = min(chunk, round_up(rows, 8))
     rpad = round_up(rows, chunk)
     if rpad != rows or npad != n:
