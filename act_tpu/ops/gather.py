@@ -30,17 +30,27 @@ def _gather_kernel(pts_ref, idx_ref, out_ref):
     sc = idx_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (npad, sc), 0)
     onehot = (rows == idx_ref[0]).astype(jnp.float32)
+    # HIGHEST: the MXU's default single-pass bf16 multiply rounds the
+    # gathered VALUES to bf16 (preferred_element_type only sets the
+    # accumulator); with the f32-synthesis passes the 0/1 selection is exact
     out_ref[0] = jax.lax.dot(pts_ref[0], onehot,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
 def gather_points_pallas(points: jax.Array, idx: jax.Array,
-                         chunk: int = 512) -> jax.Array:
-    """points: (B, N, C<=8) float, idx: (B, S) int32 -> (B, S, C)."""
+                         chunk: int = 0) -> jax.Array:
+    """points: (B, N, C<=8) float, idx: (B, S) int32 -> (B, S, C).
+
+    chunk=0 picks the output-column tile automatically: 1024 for small point
+    tables (measured ~10% faster than 512 at the bench shapes), 512 for
+    large ones (bounds the (Npad, chunk) one-hot working set)."""
     B, N, C = points.shape
     S = idx.shape[1]
     npad = round_up(N, 8)
+    if chunk == 0:
+        chunk = 1024 if npad <= 4096 else 512
     spad = round_up(S, chunk)
     dtype = points.dtype
 
