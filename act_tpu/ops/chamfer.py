@@ -172,14 +172,17 @@ def _chamfer_bwd(res, grads):
     if max(N, M) <= _ONEHOT_ROWS:
         # group regime (thousands of tiny clouds): gather AND scatter-add as
         # contractions against one-hot matrices — exact, no DMA descriptors
+        # HIGHEST: the MXU's default bf16 multiply would round the gathered
+        # f32 coordinates/cotangents (same issue as ops/gather.py)
+        hp = dict(precision=jax.lax.Precision.HIGHEST)
         oh1 = (i1[:, :, None] == jnp.arange(M)[None, None, :]).astype(x.dtype)
         oh2 = (i2[:, :, None] == jnp.arange(N)[None, None, :]).astype(x.dtype)
-        y_near = jnp.einsum("bnm,bmc->bnc", oh1, y)
-        x_near = jnp.einsum("bmn,bnc->bmc", oh2, x)
+        y_near = jnp.einsum("bnm,bmc->bnc", oh1, y, **hp)
+        x_near = jnp.einsum("bmn,bnc->bmc", oh2, x, **hp)
         v1 = 2.0 * (x - y_near) * g1[:, :, None]   # d dist1 / dx
         v2 = 2.0 * (y - x_near) * g2[:, :, None]   # d dist2 / dy
-        dx = v1 - jnp.einsum("bmn,bmc->bnc", oh2, v2)
-        dy = v2 - jnp.einsum("bnm,bnc->bmc", oh1, v1)
+        dx = v1 - jnp.einsum("bmn,bmc->bnc", oh2, v2, **hp)
+        dy = v2 - jnp.einsum("bnm,bnc->bmc", oh1, v1, **hp)
         return dx, dy
     # whole-cloud regime: Pallas one-hot gather kernel + scatter-add
     y_near = ref_ops.gather_coords(y, i1)  # (B, N, 3)
