@@ -545,8 +545,10 @@ class ACT_PointBERT(nn.Module):
         B = q_cls.shape[0]
 
         if self.moco_loss_on:
-            l_pos = jnp.einsum("nc,nc->n", q_cls, k_cls)[:, None]
-            l_neg = jnp.einsum("nc,ck->nk", q_cls, queue)
+            l_pos = jnp.einsum("nc,nc->n", q_cls, k_cls,
+                               precision=jax.lax.Precision.HIGHEST)[:, None]
+            l_neg = jnp.einsum("nc,ck->nk", q_cls, queue,
+                               precision=jax.lax.Precision.HIGHEST)
             ce_logits = jnp.concatenate([l_pos, l_neg], axis=1) / self.T
             moco_loss = _ce(ce_logits, jnp.zeros((B,), jnp.int32))
         else:
@@ -565,8 +567,10 @@ class ACT_PointBERT(nn.Module):
             dvae_loss = jnp.zeros(())
 
         if self.cutmix_loss_on:
-            l_pos = jnp.einsum("nc,mc->nm", mix_cls, k_cls)
-            l_neg = jnp.einsum("nc,ck->nk", mix_cls, queue)
+            l_pos = jnp.einsum("nc,mc->nm", mix_cls, k_cls,
+                               precision=jax.lax.Precision.HIGHEST)
+            l_neg = jnp.einsum("nc,ck->nk", mix_cls, queue,
+                               precision=jax.lax.Precision.HIGHEST)
             ce_logits = jnp.concatenate([l_pos, l_neg], axis=1) / self.T
             labels = jnp.arange(B, dtype=jnp.int32)
             cutmix_loss = jnp.mean(

@@ -385,7 +385,9 @@ class DGCNN(nn.Module):
 
         def graph_feature(feat):
             oh = onehot.astype(feat.dtype)
-            nbr = jnp.einsum("bsg,bgc->bsc", oh, feat).reshape(B, G, k, -1)
+            nbr = jnp.einsum("bsg,bgc->bsc", oh, feat,
+                             precision=jax.lax.Precision.HIGHEST
+                             ).reshape(B, G, k, -1)
             self_f = jnp.broadcast_to(feat[:, :, None, :], nbr.shape)
             return jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (B, G, 4, 2C)
 

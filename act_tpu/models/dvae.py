@@ -113,7 +113,10 @@ class _DVAEBase(nn.Module):
         self.sow("intermediates", "gumbel_u", u)
         soft_one_hot = gumbel_softmax_from_u(u, logits, tau=temperature,
                                              hard=hard)
-        sampled = jnp.einsum("bgn,nc->bgc", soft_one_hot, self.codebook)
+        # HIGHEST: softmax weights/codebook are f32; the MXU default would
+        # round the sampled features to bf16 (reference computes f32)
+        sampled = jnp.einsum("bgn,nc->bgc", soft_one_hot, self.codebook,
+                             precision=jax.lax.Precision.HIGHEST)
         sampled = self._teach(sampled, center, deterministic=not train)
         feature = self.dgcnn_2(sampled, center)
         coarse, fine = self.decoder(feature, train=train)
