@@ -44,13 +44,17 @@ def gather_points_pallas(points: jax.Array, idx: jax.Array,
     """points: (B, N, C<=8) float, idx: (B, S) int32 -> (B, S, C).
 
     chunk=0 picks the output-column tile automatically: 1024 for small point
-    tables (measured ~10% faster than 512 at the bench shapes), 512 for
-    large ones (bounds the (Npad, chunk) one-hot working set)."""
+    tables (measured ~10% faster than 512 at the bench shapes), then halves
+    so the (Npad, chunk) f32 one-hot working set stays within the ~8MB
+    scoped-VMEM budget the fps/topk kernels use (a 4096x1024 one-hot alone
+    is 16MB and OOMs Mosaic)."""
     B, N, C = points.shape
     S = idx.shape[1]
     npad = round_up(N, 8)
     if chunk == 0:
-        chunk = 1024 if npad <= 4096 else 512
+        chunk = 1024 if npad <= 2048 else 512
+        while npad * chunk * 4 > 8 * 1024 * 1024 and chunk > 128:
+            chunk //= 2
     spad = round_up(S, chunk)
     dtype = points.dtype
 

@@ -26,12 +26,17 @@ from act_tpu.ops.reference import (gather_coords, gather_points, knn_ref,
 
 
 def _use_approx_knn() -> bool:
+    # read OUTSIDE jit only (wrappers below): the env value is threaded into
+    # the jitted functions as a static arg so flipping ACT_TPU_KNN
+    # mid-process invalidates the jit cache instead of silently reusing the
+    # previously compiled path (ADVICE r2).
     import os
     return os.environ.get("ACT_TPU_KNN", "").lower() == "approx"
 
 
-@partial(jax.jit, static_argnames=("k", "mesh"))
-def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int, mesh=None):
+@partial(jax.jit, static_argnames=("k", "mesh", "approx"))
+def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int, mesh=None,
+             approx: bool = False):
     """TPU kNN: exact k-smallest Pallas extraction over the MXU distance
     matrix (ops/topk.py). For k << N the iterative extract-min kernel avoids
     the full bitonic sort over N lanes that both ``lax.top_k`` and
@@ -39,7 +44,7 @@ def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int, mesh=None):
     the approx_min_k path for A/B runs. Neighbor sets are exact; ties break
     to the smallest index like ``knn_ref``."""
     d = square_distance(query, ref_points)
-    if _use_approx_knn():
+    if approx:
         dist, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
         return dist, idx.astype(jnp.int32)
     if mesh is not None:
@@ -50,7 +55,8 @@ def _knn_tpu(ref_points: jax.Array, query: jax.Array, k: int, mesh=None):
 def knn(ref_points: jax.Array, query: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """k nearest neighbors: (B,N,C) ref, (B,S,C) query -> (sq dists, idx) (B,S,k)."""
     if use_pallas():  # i.e. running on real TPU
-        return _knn_tpu(ref_points, query, k, current_kernel_mesh())
+        return _knn_tpu(ref_points, query, k, current_kernel_mesh(),
+                        _use_approx_knn())
     return knn_ref(ref_points, query, k)
 
 
@@ -61,18 +67,23 @@ def group_points(xyz: jax.Array, num_group: int, group_size: int
     Matches reference Group.forward (models/dvae.py:161-183): FPS to G centers, kNN of
     size M around each center, gather, subtract center.
     """
-    # the active kernel mesh is part of the jit cache key (a trace under a
-    # mesh bakes shard_maps into the program)
-    return _group_points(xyz, num_group, group_size, current_kernel_mesh())
+    # the active kernel mesh / knn flavor are part of the jit cache key (a
+    # trace under a mesh bakes shard_maps into the program; the ACT_TPU_KNN
+    # env read must not be latched by a cached trace)
+    return _group_points(xyz, num_group, group_size, current_kernel_mesh(),
+                         _use_approx_knn())
 
 
-@partial(jax.jit, static_argnames=("num_group", "group_size", "mesh"))
-def _group_points(xyz: jax.Array, num_group: int, group_size: int, mesh
-                  ) -> Tuple[jax.Array, jax.Array]:
+@partial(jax.jit, static_argnames=("num_group", "group_size", "mesh", "approx"))
+def _group_points(xyz: jax.Array, num_group: int, group_size: int, mesh,
+                  approx: bool = False) -> Tuple[jax.Array, jax.Array]:
     with kernel_mesh(mesh):
         center_idx = furthest_point_sample(xyz, num_group)  # (B, G)
         center = gather_points(xyz, center_idx)  # (B, G, 3)
-        _, idx = knn(xyz, center, group_size)  # (B, G, M)
+        if use_pallas():
+            _, idx = _knn_tpu(xyz, center, group_size, mesh, approx)
+        else:
+            _, idx = knn_ref(xyz, center, group_size)  # (B, G, M)
         neighborhood = gather_coords(xyz, idx)  # (B, G, M, 3), Pallas on TPU
     neighborhood = neighborhood - center[:, :, None, :]
     return neighborhood, center
@@ -85,15 +96,16 @@ def graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int = 4) -> jax.A
     DGCNN.get_graph_feature's KNN(k=4) call (models/dvae.py:59-79); neighbor features
     are then gathered and concatenated as (nbr - self, self) by the model code.
     """
-    return _graph_feature_idx(coor_k, coor_q, k, current_kernel_mesh())
+    return _graph_feature_idx(coor_k, coor_q, k, current_kernel_mesh(),
+                              _use_approx_knn())
 
 
-@partial(jax.jit, static_argnames=("k", "mesh"))
+@partial(jax.jit, static_argnames=("k", "mesh", "approx"))
 def _graph_feature_idx(coor_k: jax.Array, coor_q: jax.Array, k: int,
-                       mesh) -> jax.Array:
+                       mesh, approx: bool = False) -> jax.Array:
     d = square_distance(coor_q, coor_k)
     if use_pallas():
-        if _use_approx_knn():
+        if approx:
             _, idx = jax.lax.approx_min_k(d, k, recall_target=1.0)
         elif mesh is not None:
             _, idx = shard_over_batch(
