@@ -74,10 +74,13 @@ def build_schedule(sche_cfg, optimizer_kwargs, steps_per_epoch: int) -> Callable
     if stype == "CosLR":
         warmup_epochs = int(sche_cfg.kwargs.get("initial_epochs", 0))
         total_epochs = int(sche_cfg.kwargs.epochs)
+        warmup_steps = max(warmup_epochs * steps_per_epoch, 1)
+        # decay must strictly exceed warmup (optax requires a positive cosine
+        # leg; epochs == initial_epochs is legal in smoke/one-epoch runs)
         return optax.warmup_cosine_decay_schedule(
             init_value=1e-6, peak_value=base_lr,
-            warmup_steps=max(warmup_epochs * steps_per_epoch, 1),
-            decay_steps=max(total_epochs * steps_per_epoch, 2),
+            warmup_steps=warmup_steps,
+            decay_steps=max(total_epochs * steps_per_epoch, warmup_steps + 1),
             end_value=1e-7)
     if stype == "LambdaLR":
         # reference build_lambda_sche (utils/misc.py:52-60): lr decays
@@ -101,6 +104,33 @@ def build_schedule(sche_cfg, optimizer_kwargs, steps_per_epoch: int) -> Callable
     if stype == "function":
         return lambda step: base_lr
     raise NotImplementedError(stype)
+
+
+def build_bnm_schedule(config):
+    """Optional BatchNorm-momentum scheduler (reference tools/builder.py:89-93).
+
+    Returns ``epoch -> torch-convention BN momentum`` built from the config's
+    ``bnmscheduler`` node, or None when absent (no shipped ACT config sets one;
+    surface parity with ``build_lambda_bnsche``). Runners convert the value to
+    a traced rescale ratio via :func:`act_tpu.utils.misc.bn_update_ratio` and
+    pass it to the step — flax bakes BN momentum into the module, so the
+    schedule is applied as an exact affine retarget of the running-stat update
+    instead of a per-epoch retrace.
+    """
+    node = config.get("bnmscheduler", None)
+    if node is None:
+        return None
+    if node["type"] != "Lambda":
+        raise NotImplementedError(node["type"])
+    from functools import partial
+    from act_tpu.utils.misc import bn_momentum_schedule
+    k = node["kwargs"]
+    if k.get("decay_step", None) is None:
+        raise NotImplementedError("bnmscheduler requires decay_step")
+    return partial(bn_momentum_schedule, bn_momentum=float(k["bn_momentum"]),
+                   bn_decay=float(k["bn_decay"]),
+                   decay_step=int(k["decay_step"]),
+                   lowest_decay=float(k["lowest_decay"]))
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from act_tpu.parallel import make_mesh, shard_batch
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
 from act_tpu.utils.metrics import Metrics
-from act_tpu.utils.misc import set_random_seed, cosine_anneal
+from act_tpu.utils.misc import bn_update_ratio, set_random_seed, cosine_anneal
 
 
 def get_temp(config, n_itr: int) -> float:
@@ -136,6 +136,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     tx, schedule = engine_builder.build_optimizer(
         config, variables["params"], steps_per_epoch,
         trainable if frozen else None)
+    bnm = engine_builder.build_bnm_schedule(config)
     state = TrainState.create(variables, tx)
 
     start_epoch = 0
@@ -152,6 +153,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
     n_itr = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, int(config.max_epoch)):
         train_loader.set_epoch(epoch)
+        # scheduled BN momentum as a traced rescale ratio (reference
+        # BNMomentumScheduler.step(epoch), tools/builder.py:89-93)
+        bn_extra = (() if bnm is None else
+                    (jnp.float32(bn_update_ratio(bnm(epoch))),))
         meters = AverageMeter(["Loss1", "Loss2"])
         t0 = time.time()
         for idx, (tax, mid, data) in enumerate(train_loader):
@@ -160,7 +165,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
             temp = get_temp(config, n_itr)
             kldw = get_kld_weight(config, n_itr)
             state, metrics = train_step(state, pts, root_key,
-                                        jnp.float32(temp), jnp.float32(kldw))
+                                        jnp.float32(temp), jnp.float32(kldw),
+                                        *bn_extra)
             n_itr += 1
             meters.update([float(metrics["recon"]) * 1000,
                            float(metrics["kld"]) * 1000])

@@ -25,7 +25,7 @@ from act_tpu.ops._backend import set_default_kernel_mesh
 from act_tpu.parallel import make_mesh, shard_batch
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
-from act_tpu.utils.misc import set_random_seed
+from act_tpu.utils.misc import bn_update_ratio, set_random_seed
 
 
 from act_tpu.utils.meters import AccMetric
@@ -65,6 +65,7 @@ def build_state(args, config, logger, steps_per_epoch):
     frozen_mask = trainable if transfer != "full" else None
     tx, schedule = engine_builder.build_optimizer(
         config, variables["params"], steps_per_epoch, frozen_mask)
+    bnm = engine_builder.build_bnm_schedule(config)
     state = TrainState.create(variables, tx)
 
     if getattr(args, "ckpts", None) and not args.resume:
@@ -85,7 +86,7 @@ def build_state(args, config, logger, steps_per_epoch):
                 jax.device_get(state.batch_stats), loaded_bs, logger=logger)
             state = state.replace(batch_stats=merged_bs)
         print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
-    return model, state, schedule, root_key, frozen_mask
+    return model, state, schedule, root_key, frozen_mask, bnm
 
 
 def run_net(args, config, train_writer=None, val_writer=None):
@@ -106,7 +107,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     _, val_loader = engine_builder.dataset_builder(args, config.dataset.val)
     steps_per_epoch = max(len(train_loader), 1)
 
-    model, state, schedule, root_key, frozen_mask = build_state(
+    model, state, schedule, root_key, frozen_mask, bnm = build_state(
         args, config, logger, steps_per_epoch)
 
     def train_transform(key, pts):
@@ -132,13 +133,17 @@ def run_net(args, config, train_writer=None, val_writer=None):
     max_steps = 2 if smoke else None
     for epoch in range(start_epoch, int(config.max_epoch)):
         train_loader.set_epoch(epoch)
+        # scheduled BN momentum as a traced rescale ratio (reference
+        # BNMomentumScheduler.step(epoch), tools/builder.py:89-93)
+        bn_extra = (() if bnm is None else
+                    (jnp.float32(bn_update_ratio(bnm(epoch))),))
         meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
         for idx, (tax, mid, data) in enumerate(train_loader):
             pts, label = data
             pts = shard_batch(mesh, jnp.asarray(pts))
             label = shard_batch(mesh, jnp.asarray(label))
-            state, metrics = train_step(state, pts, label, root_key)
+            state, metrics = train_step(state, pts, label, root_key, *bn_extra)
             meters.update([float(metrics["loss"]), float(metrics["acc"])])
             if max_steps and idx + 1 >= max_steps:
                 break
@@ -258,7 +263,7 @@ def test_net(args, config):
     npoints = int(config.npoints)
     config.dataset.test.others.bs = config.total_bs * 2
     _, test_loader = engine_builder.dataset_builder(args, config.dataset.test)
-    model, state, schedule, root_key, _ = build_state(args, config, logger, 1)
+    model, state, schedule, root_key, _, _ = build_state(args, config, logger, 1)
 
     @jax.jit
     def infer_step(variables, pts):
@@ -279,4 +284,5 @@ def test_net(args, config):
             best = max(best, a)
             print_log(f"[TEST_VOTE] round {r} acc={a:.4f} best={best:.4f}",
                       logger=logger)
+        acc.vote = best  # best-of-rounds vote OA (tools/parity_protocol.py)
     return acc

@@ -26,7 +26,7 @@ from act_tpu.ops._backend import set_default_kernel_mesh
 from act_tpu.parallel import make_mesh, shard_batch, is_main_process
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
-from act_tpu.utils.misc import set_random_seed
+from act_tpu.utils.misc import bn_update_ratio, set_random_seed
 
 
 from act_tpu.utils.meters import AccMetric
@@ -187,6 +187,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     steps_per_epoch = max(len(train_loader), 1)
     tx, schedule = engine_builder.build_optimizer(
         config, variables["params"], steps_per_epoch, trainable)
+    bnm = engine_builder.build_bnm_schedule(config)
     state = TrainState.create(variables, tx)
 
     start_epoch = 0
@@ -251,6 +252,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
     n_step = 0
     for epoch in range(start_epoch, int(config.max_epoch)):
         train_loader.set_epoch(epoch)
+        # scheduled BN momentum enters the jitted step as a traced rescale
+        # ratio (reference BNMomentumScheduler.step(epoch), builder.py:89-93)
+        bn_extra = (() if bnm is None else
+                    (jnp.float32(bn_update_ratio(bnm(epoch))),))
         meters = AverageMeter(["Loss"])
         batch_time = AverageMeter()
         epoch_start = time.time()
@@ -264,11 +269,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
                     continue
                 stacked = shard_batch(mesh, jnp.asarray(np.stack(pending)))
                 pending = []
-                state, metrics = multi_step(state, stacked, root_key)
+                state, metrics = multi_step(state, stacked, root_key,
+                                            *bn_extra)
                 n_step += scan_steps
             else:
                 pts = shard_batch(mesh, jnp.asarray(pts))
-                state, metrics = train_step(state, pts, root_key)
+                state, metrics = train_step(state, pts, root_key, *bn_extra)
                 n_step += 1
             trace.step(n_step)
             loss = float(metrics["loss"])
@@ -290,7 +296,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # step-based LR schedule stays aligned with the epoch loop
         for pts in pending:
             sharded = shard_batch(mesh, jnp.asarray(pts))
-            state, metrics = train_step(state, sharded, root_key)
+            state, metrics = train_step(state, sharded, root_key, *bn_extra)
             n_step += 1
             meters.update([float(metrics["loss"])])
         pending = []

@@ -75,6 +75,22 @@ def stop_frozen(params, trainable_mask):
         params, trainable_mask)
 
 
+def apply_bn_ratio(old_stats, new_stats, ratio):
+    """Retarget a flax BN running-stat update to a scheduled momentum.
+
+    ``old + r*(new-old)`` with ``r = (1-m_t)/(1-m0)`` turns an update computed
+    with the module's static momentum ``m0`` into one computed with ``m_t``
+    exactly (see utils.misc.bn_update_ratio) — the functional analog of the
+    reference ``BNMomentumScheduler`` mutating ``bn.momentum`` per epoch
+    (utils/misc.py:123-147). The literal default 1.0 skips the arithmetic so
+    the unscheduled path stays bit-identical.
+    """
+    if isinstance(ratio, (int, float)) and ratio == 1.0:
+        return new_stats
+    return jax.tree_util.tree_map(lambda o, n: o + ratio * (n - o),
+                                  old_stats, new_stats)
+
+
 def _with_kernel_mesh(fn: Callable, mesh) -> Callable:
     """Activate the Pallas kernel-sharding mesh while the step body traces,
     so the grouping/kNN/gather kernels run under shard_map over 'data'
@@ -100,8 +116,8 @@ def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
     reference models/act.py:973-979).
     """
 
-    def train_step(state: TrainState, pts: jax.Array, base_key: jax.Array
-                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    def train_step(state: TrainState, pts: jax.Array, base_key: jax.Array,
+                   bn_ratio=1.0) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if mesh is not None:
             pts = jax.lax.with_sharding_constraint(
                 pts, NamedSharding(mesh, P(DATA_AXIS)))
@@ -131,9 +147,11 @@ def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
 
         (loss, (losses, new_vars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        old_stats = state.batch_stats
         state = state.apply_gradients(grads)
         state = state.replace(
-            batch_stats=new_vars.get("batch_stats", state.batch_stats),
+            batch_stats=apply_bn_ratio(
+                old_stats, new_vars.get("batch_stats", old_stats), bn_ratio),
             buffers=new_vars.get("buffers", state.buffers))
 
         if ema_momentum is not None:
@@ -162,13 +180,13 @@ def make_multi_step(train_step: Callable, num_steps: int) -> Callable:
     involvement is 1/K per step. Batches: pytree with leading (K, ...) axes.
     """
 
-    def multi_step(state, stacked_batches, base_key):
+    def multi_step(state, stacked_batches, base_key, bn_ratio=1.0):
         def body(carry, batch):
             st = carry
             if isinstance(batch, (tuple, list)):
-                st, metrics = train_step(st, *batch, base_key)
+                st, metrics = train_step(st, *batch, base_key, bn_ratio)
             else:
-                st, metrics = train_step(st, batch, base_key)
+                st, metrics = train_step(st, batch, base_key, bn_ratio)
             return st, metrics
 
         state, metrics = jax.lax.scan(body, state, stacked_batches)
@@ -184,8 +202,8 @@ def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
     cosine anneals (tools/runner_autoencoder.py:18-53) don't retrigger compiles."""
 
     def train_step(state: TrainState, pts: jax.Array, base_key: jax.Array,
-                   temperature: jax.Array, kld_weight: jax.Array
-                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+                   temperature: jax.Array, kld_weight: jax.Array,
+                   bn_ratio=1.0) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if mesh is not None:
             pts = jax.lax.with_sharding_constraint(
                 pts, NamedSharding(mesh, P(DATA_AXIS)))
@@ -208,8 +226,10 @@ def make_autoencoder_step(model, transform_fn: Optional[Callable] = None,
 
         (loss, (recon, kld, new_vars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        old_stats = state.batch_stats
         state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=new_vars["batch_stats"])
+        state = state.replace(batch_stats=apply_bn_ratio(
+            old_stats, new_vars["batch_stats"], bn_ratio))
         return state, {"loss": loss, "recon": recon, "kld": kld}
 
     return jax.jit(_with_kernel_mesh(train_step, mesh), donate_argnums=(0,))
@@ -222,7 +242,7 @@ def make_finetune_step(model, transform_fn: Optional[Callable] = None,
     from act_tpu.models.point_transformer import get_loss_acc
 
     def train_step(state: TrainState, pts: jax.Array, labels: jax.Array,
-                   base_key: jax.Array) -> Tuple[TrainState, Dict]:
+                   base_key: jax.Array, bn_ratio=1.0) -> Tuple[TrainState, Dict]:
         if mesh is not None:
             sh = NamedSharding(mesh, P(DATA_AXIS))
             pts = jax.lax.with_sharding_constraint(pts, sh)
@@ -243,8 +263,10 @@ def make_finetune_step(model, transform_fn: Optional[Callable] = None,
 
         (loss, (acc, new_vars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        old_stats = state.batch_stats
         state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=new_vars["batch_stats"])
+        state = state.replace(batch_stats=apply_bn_ratio(
+            old_stats, new_vars["batch_stats"], bn_ratio))
         return state, {"loss": loss, "acc": acc}
 
     return jax.jit(_with_kernel_mesh(train_step, mesh), donate_argnums=(0,))

@@ -28,7 +28,7 @@ class Mlp3Head(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        bn = dict(use_running_average=not train,
+        bn = dict(use_running_average=not train, momentum=0.9,
                   axis_name=self.bn_axis_name if train else None)
         for i in range(2):
             x = nn.Dense(256, name=f"fc{i + 1}")(x)

@@ -41,7 +41,9 @@ class FeaturePropagation(nn.Module):
             new = interp
         for i, ch in enumerate(self.mlp):
             new = nn.Dense(ch, name=f"conv{i}")(new)
-            new = nn.BatchNorm(use_running_average=not train,
+            # momentum 0.9 = torch BatchNorm default 0.1 (flax convention is
+            # the running-average weight)
+            new = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                name=f"bn{i}")(new)
             new = nn.relu(new)
         return new
@@ -95,7 +97,7 @@ class _SegHead(nn.Module):
         if self.with_label:
             lab = nn.Dense(64, use_bias=False, name="label_conv")(
                 cls_label_one_hot)  # (B, 64)
-            lab = nn.BatchNorm(use_running_average=not train,
+            lab = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                name="label_bn")(lab)
             lab = nn.leaky_relu(lab, negative_slope=0.2)
             globs.append(lab)
@@ -109,11 +111,13 @@ class _SegHead(nn.Module):
 
         h = jnp.concatenate([f_level_0, x_global], axis=-1)
         h = nn.Dense(512, name="convs1")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="bns1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bns1")(h)
         h = nn.relu(h)
         h = nn.Dropout(0.5)(h, deterministic=not train)
         h = nn.Dense(256, name="convs2")(h)
-        h = nn.BatchNorm(use_running_average=not train, name="bns2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bns2")(h)
         h = nn.relu(h)
         h = nn.Dense(self.cls_dim, name="convs3")(h)
         return jax.nn.log_softmax(h, axis=-1)  # (B, N, cls_dim)

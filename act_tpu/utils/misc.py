@@ -47,10 +47,33 @@ def cosine_anneal(step: int, start: float, target: float, ntime: int) -> float:
     return float(target + 0.5 * (start - target) * (1.0 + np.cos(np.pi * t)))
 
 
-def bn_momentum_schedule(epoch: int, bn_momentum: float = 0.1, bn_decay: float = 0.5,
-                         decay_step: int = 20, lowest: float = 0.01) -> float:
-    """BN-momentum decay schedule (reference ``BNMomentumScheduler``, misc.py:123)."""
-    return max(bn_momentum * bn_decay ** (epoch // decay_step), lowest)
+# flax BatchNorm momentum weighting the OLD running average; = 1 - torch
+# momentum. All BN modules in act_tpu.models use this value so a single
+# scalar retarget (rescale_bn_update) implements the BN-momentum schedule.
+FLAX_BN_MOMENTUM = 0.9
+
+
+def bn_momentum_schedule(epoch, bn_momentum: float = 0.1, bn_decay: float = 0.5,
+                         decay_step: int = 20, lowest_decay: float = 0.01):
+    """BN-momentum decay (reference ``build_lambda_bnsche``, utils/misc.py:60-66).
+
+    Returns the *torch-convention* momentum (weight of the new batch statistic):
+    ``max(bn_momentum * bn_decay ** (epoch / decay_step), lowest_decay)``.
+    """
+    return max(bn_momentum * bn_decay ** (epoch / decay_step), lowest_decay)
+
+
+def bn_update_ratio(torch_momentum) -> float:
+    """Rescale factor turning a flax BN running-stat update computed with the
+    static ``FLAX_BN_MOMENTUM`` into one computed with a scheduled momentum.
+
+    flax updates ``new = m0*old + (1-m0)*batch`` with ``m0`` baked into the
+    module; ``old + r*(new-old)`` with ``r=(1-m_t)/(1-m0)`` equals
+    ``m_t*old + (1-m_t)*batch`` exactly, so the per-epoch momentum becomes a
+    traced scalar instead of a retrace (the ``BNMomentumScheduler`` analog,
+    reference utils/misc.py:123-147). ``torch_momentum`` is ``1 - m_t``.
+    """
+    return float(torch_momentum) / (1.0 - FLAX_BN_MOMENTUM)
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,9 @@ def get_args(argv=None):
     parser.add_argument("--start_ckpts", type=str, default=None)
     parser.add_argument("--ckpts", type=str, default=None)
     parser.add_argument("--val_freq", type=int, default=1)
+    parser.add_argument("--loss", type=str, default="cd1",
+                        help="loss name (kept for CLI parity; unused by the "
+                             "shipped pipelines, like the reference)")
     parser.add_argument("--vote", action="store_true")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--test", action="store_true")

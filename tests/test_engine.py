@@ -141,6 +141,37 @@ class TestCheckpoint:
                                    np.arange(4.0))
         assert best["acc"] == 2.0
 
+    def test_resume_folds_legacy_bias_tree(self, tmp_path):
+        """--resume from a pre-bias-fold checkpoint: the conv bias folds into
+        the BN running mean and the optimizer moments (whose tree carried the
+        dropped leaf) are reinitialized instead of crashing (ADVICE r2)."""
+        from act_tpu.engine import checkpoint as ckpt_lib
+
+        class A:
+            experiment_path = str(tmp_path)
+        legacy_params = {"encoder": {"conv1": {
+            "kernel": np.ones((3, 8), np.float32),
+            "bias": np.full(8, 0.5, np.float32)}}}
+        bs = {"encoder": {"bn1": {"mean": np.zeros(8, np.float32),
+                                  "var": np.ones(8, np.float32)}}}
+        tx = optax.adam(1e-3)
+        legacy_state = TrainState.create(
+            {"params": legacy_params, "batch_stats": bs}, tx)
+        ckpt_lib.save_checkpoint(legacy_state, 5, None, None, "ckpt-last", A())
+
+        modern_params = {"encoder": {"conv1": {
+            "kernel": np.zeros((3, 8), np.float32)}}}
+        state = TrainState.create({"params": modern_params,
+                                   "batch_stats": bs}, tx)
+        state, epoch, _ = ckpt_lib.resume_state(state, A())
+        assert epoch == 6
+        assert "bias" not in state.params["encoder"]["conv1"]
+        np.testing.assert_allclose(
+            np.asarray(state.batch_stats["encoder"]["bn1"]["mean"]), -0.5)
+        # moments were rebuilt on the folded tree
+        jax.tree_util.tree_map(lambda a, b: None, state.opt_state,
+                               tx.init(state.params))
+
     def test_merge_pretrained_reports(self):
         from act_tpu.engine.checkpoint import merge_pretrained
         dst = {"a": {"w": np.zeros((2, 2))}, "b": np.zeros(3)}
@@ -332,6 +363,63 @@ class TestTensorParallel:
         assert np.isfinite(float(metrics["loss"]))
         fc1 = state.params["blocks"]["blocks_0"]["mlp"]["fc1"]["kernel"]
         assert tuple(fc1.sharding.spec) == (None, "model")
+        def norm(leaf):
+            s = tuple(leaf.sharding.spec)
+            return s + (None,) * (leaf.ndim - len(s))  # trailing None trimmed
+        qkv = state.params["blocks"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        assert norm(qkv) == (None, "model")
+        proj = state.params["blocks"]["blocks_0"]["attn"]["proj"]["kernel"]
+        assert norm(proj) == ("model", None)
+
+    def test_tp_matches_dp_numerically(self):
+        """TP=2 and pure DP produce the same loss and the same updated params
+        on identical inputs — the sharding annotations change layout, not
+        math (reduction-order tolerance only). SGD, not AdamW: params whose
+        true gradient is ~0 (e.g. a bias feeding straight into BatchNorm,
+        whose mean-subtraction cancels it) would have their 1e-6
+        reduction-order noise amplified to full-size sign-flipped updates by
+        Adam's normalizer — a property of adaptive optimizers on degenerate
+        directions, not a TP correctness signal."""
+        import jax.numpy as jnp
+        from act_tpu.models import MODELS
+        from act_tpu.parallel import make_mesh, shard_batch
+        from act_tpu.parallel.tp import shard_params_tp
+        from act_tpu.engine.train_state import TrainState, make_finetune_step
+        from act_tpu.utils.config import ConfigDict
+        import optax
+
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.0,
+            cls_dim=8, num_heads=4, group_size=8, num_group=16,
+            encoder_dims=32, transfer_type="full"))
+        model = MODELS.build(cfg)
+        key = jax.random.PRNGKey(0)
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(8, 128, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 8, size=(8,)), jnp.int32)
+        variables = model.init(dict(params=key, dropout=key, droppath=key),
+                               pts)
+        tx = optax.sgd(1e-2)
+
+        results = {}
+        for name, mp in (("dp", 1), ("tp", 2)):
+            mesh = make_mesh(model_parallel=mp)
+            v = jax.tree_util.tree_map(jnp.array, variables)
+            v = {**v, "params": shard_params_tp(v["params"], mesh)}
+            state = TrainState.create(v, tx)
+            step = make_finetune_step(model, mesh=mesh)
+            with mesh:
+                state, metrics = step(state, shard_batch(mesh, pts),
+                                      shard_batch(mesh, labels), key)
+            results[name] = (float(metrics["loss"]),
+                             jax.device_get(state.params))
+        assert abs(results["dp"][0] - results["tp"][0]) < 1e-5
+        flat_dp = jax.tree_util.tree_leaves_with_path(results["dp"][1])
+        flat_tp = dict(jax.tree_util.tree_leaves_with_path(results["tp"][1]))
+        for path, a in flat_dp:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(flat_tp[path]), rtol=2e-4,
+                atol=1e-6, err_msg=jax.tree_util.keystr(path))
 
 
 class TestLegacyCkptCompat:
@@ -378,3 +466,107 @@ class TestLegacyCkptCompat:
         np.testing.assert_allclose(bs["decoder"]["fbn1"]["mean"], 0.75)
         np.testing.assert_allclose(bs["decoder"]["fbn2"]["mean"], 1.0)
         assert "bias" in params["decoder"]["final3"]  # no BN follows final3
+
+
+class TestBNMomentumScheduler:
+    """bnmscheduler parity (reference tools/builder.py:89-93 +
+    BNMomentumScheduler, utils/misc.py:123-147): the per-epoch momentum is
+    applied as an exact affine retarget of the flax running-stat update."""
+
+    def test_schedule_matches_reference_lambda(self):
+        from act_tpu.utils.misc import bn_momentum_schedule
+        # reference: max(bn_momentum * bn_decay ** (epoch / decay_step), lowest)
+        for e in (0, 1, 10, 20, 35, 200):
+            got = bn_momentum_schedule(e, bn_momentum=0.1, bn_decay=0.5,
+                                       decay_step=20, lowest_decay=0.01)
+            want = max(0.1 * 0.5 ** (e / 20), 0.01)
+            assert abs(got - want) < 1e-12
+
+    def test_builder_parses_node(self):
+        from act_tpu.engine.builder import build_bnm_schedule
+        assert build_bnm_schedule(train_cfg()) is None
+        cfg = train_cfg(bnmscheduler=dict(
+            type="Lambda", kwargs=dict(bn_momentum=0.1, bn_decay=0.5,
+                                       decay_step=20, lowest_decay=0.01)))
+        fn = build_bnm_schedule(cfg)
+        assert abs(fn(0) - 0.1) < 1e-12
+        assert abs(fn(40) - 0.025) < 1e-12
+        assert abs(fn(10_000) - 0.01) < 1e-12
+
+    def test_affine_retarget_matches_static_momentum(self):
+        """apply_bn_ratio(old, new_m0, r) == the stats a BN with static
+        momentum m_t would have produced on the same batch."""
+        import flax.linen as nn
+        from act_tpu.engine.train_state import apply_bn_ratio
+        from act_tpu.utils.misc import FLAX_BN_MOMENTUM, bn_update_ratio
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)),
+                        jnp.float32)
+
+        def run_bn(momentum, stats):
+            bn = nn.BatchNorm(use_running_average=False, momentum=momentum)
+            variables = bn.init(jax.random.PRNGKey(0), x)
+            variables = {**variables, "batch_stats": stats}
+            _, new_vars = bn.apply(variables, x, mutable=["batch_stats"])
+            return new_vars["batch_stats"]
+
+        old = {"mean": jnp.full((8,), 0.3), "var": jnp.full((8,), 2.0)}
+        torch_m_target = 0.025  # scheduled momentum at some epoch
+        new_m0 = run_bn(FLAX_BN_MOMENTUM, old)
+        want = run_bn(1.0 - torch_m_target, old)
+        got = apply_bn_ratio(old, new_m0, bn_update_ratio(torch_m_target))
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]), rtol=1e-6)
+
+    def test_literal_one_is_bitexact_skip(self):
+        from act_tpu.engine.train_state import apply_bn_ratio
+        new = {"m": jnp.ones(4) * 0.123}
+        assert apply_bn_ratio({"m": jnp.zeros(4)}, new, 1.0) is new
+
+    def test_finetune_step_threads_ratio(self):
+        """A finetune train step accepts the traced bn_ratio and produces
+        running stats between old and the unscheduled update (ratio<1)."""
+        from act_tpu.engine.train_state import make_finetune_step
+        from act_tpu.models import MODELS
+
+        cfg = ConfigDict(dict(NAME="PointTransformer", embed_dim=32, depth=1,
+                              drop_path_rate=0.0, cls_dim=4, num_heads=4,
+                              group_size=8, num_group=8, encoder_dims=32))
+        model = MODELS.build(cfg)
+        pts = jnp.asarray(np.random.default_rng(0).normal(size=(4, 64, 3)),
+                          jnp.float32)
+        labels = jnp.zeros((4,), jnp.int32)
+        k = jax.random.PRNGKey(0)
+        rngs = dict(params=k, dropout=k, droppath=k)
+        variables = model.init(rngs, pts)
+        tx, _ = build_optimizer(train_cfg(), variables["params"], 4)
+        step = make_finetune_step(model)
+
+        fresh = lambda: jax.tree_util.tree_map(jnp.array, variables)
+        s1, _ = step(TrainState.create(fresh(), tx), pts, labels, k)
+        s2, _ = step(TrainState.create(fresh(), tx), pts, labels, k,
+                     jnp.float32(0.25))
+        old = variables["batch_stats"]
+        flat = jax.tree_util.tree_leaves_with_path(old)
+        f1 = dict(jax.tree_util.tree_leaves_with_path(s1.batch_stats))
+        f2 = dict(jax.tree_util.tree_leaves_with_path(s2.batch_stats))
+        moved = 0
+        for path, o in flat:
+            d1 = np.asarray(f1[path] - o)
+            d2 = np.asarray(f2[path] - o)
+            np.testing.assert_allclose(d2, 0.25 * d1, rtol=1e-5, atol=1e-7)
+            moved += int(np.abs(d1).sum() > 0)
+        assert moved > 0  # the stats actually updated
+
+
+class TestParserFlagSurface:
+    def test_reference_flags_present(self, tmp_path, monkeypatch):
+        """Every reference CLI flag (utils/parser.py:9-45) parses here."""
+        from act_tpu.utils.parser import get_args
+        monkeypatch.chdir(tmp_path)
+        args = get_args(["--config", "cfgs/full/finetune_modelnet.yaml",
+                         "--exp_name", "t", "--loss", "cd1", "--seed", "3",
+                         "--num_workers", "2", "--val_freq", "2"])
+        assert args.loss == "cd1"
+        assert args.seed == 3
