@@ -57,9 +57,29 @@ def resume_state(state, args, logger=None):
         print_log(f"[RESUME] no checkpoint at {path}", logger=logger)
         return state, 0, None
     payload = load_checkpoint(path)
+    params, batch_stats = payload["params"], payload["batch_stats"]
+    opt_state = payload["opt_state"]
+    same_tree = lambda a, b: (jax.tree_util.tree_structure(a)
+                              == jax.tree_util.tree_structure(b))
+    if not same_tree(params, state.params):
+        # Legacy checkpoint from before GroupEncoder/FoldingDecoder dropped
+        # their conv biases: fold them into the BN running means (exact) and
+        # reinitialize the optimizer moments — their tree still contains the
+        # dropped leaves, and pruning inside an arbitrary optax state is not
+        # worth the fragility for a one-time format migration (ADVICE r2).
+        params, batch_stats = fold_legacy_encoder_bias(params, batch_stats)
+        if not same_tree(params, state.params):
+            raise ValueError(
+                f"resume checkpoint at {path} has an incompatible param tree "
+                "even after the legacy-bias fold — it was saved by a "
+                "different model config")
+        opt_state = state.tx.init(jax.tree_util.tree_map(np.asarray, params))
+        print_log("[RESUME] legacy pre-bias-fold checkpoint: folded conv "
+                  "biases into BN means and REINITIALIZED optimizer moments",
+                  logger=logger)
     state = state.replace(
-        params=payload["params"], batch_stats=payload["batch_stats"],
-        buffers=payload["buffers"], opt_state=payload["opt_state"],
+        params=params, batch_stats=batch_stats,
+        buffers=payload["buffers"], opt_state=opt_state,
         step=payload["step"])
     start_epoch = int(payload["epoch"]) + 1
     print_log(f"[RESUME] resumed at epoch {start_epoch}", logger=logger)

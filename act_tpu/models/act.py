@@ -137,16 +137,25 @@ class VisableOnlyMaskTransformer(nn.Module):
         B, G = center.shape[:2]
         mask, num_mask = self.make_mask(center, noaug)
         vis_idx, _ = split_by_mask(mask, num_mask)
-        # Embed only the visible groups (the masked ones' embeddings are
-        # discarded — reference act.py:700-707 embeds all G then boolean-
-        # indexes, 5x the embed FLOPs at mask_ratio 0.8). Identical math per
-        # group; in train mode the BatchNorm batch statistics are estimated
-        # over the visible (uniformly random) subset of groups instead of all
-        # of them — an unbiased estimate over ~B*V*M >= 50k points (pinned by
-        # TestVisibleOnlyEmbedding).
-        vis_nbr = jnp.take_along_axis(
-            neighborhood, vis_idx[:, :, None, None], axis=1)  # (B, V, M, 3)
-        x_vis = self.encoder(vis_nbr, train=train)  # (B, V, C)
+        if self.mask_type == "block" and num_mask > 0:
+            # Block masking picks a spatially contiguous masked region, so the
+            # visible subset is anti-correlated with it — embedding only the
+            # visible groups would bias train-mode BN batch statistics vs the
+            # reference (which embeds all G). Embed everything and gather
+            # (reference act.py:700-707; ADVICE r2).
+            x_all = self.encoder(neighborhood, train=train)  # (B, G, C)
+            x_vis = take_tokens(x_all, vis_idx)  # (B, V, C)
+        else:
+            # Embed only the visible groups (the masked ones' embeddings are
+            # discarded — reference act.py:700-707 embeds all G then boolean-
+            # indexes, 5x the embed FLOPs at mask_ratio 0.8). Identical math
+            # per group; in train mode the BatchNorm batch statistics are
+            # estimated over the visible subset of groups — for 'rand'
+            # masking a uniformly random, unbiased sample over ~B*V*M >= 50k
+            # points (pinned by TestVisibleOnlyEmbedding).
+            vis_nbr = jnp.take_along_axis(
+                neighborhood, vis_idx[:, :, None, None], axis=1)  # (B, V, M, 3)
+            x_vis = self.encoder(vis_nbr, train=train)  # (B, V, C)
         if self.use_reduce:
             x_vis = self.reduce_dim(x_vis)
         vis_center = take_tokens(center, vis_idx)

@@ -78,18 +78,9 @@ def _gumbel_argmax_kernel(v: int, use_hw_prng: bool,
     out_ref[:] = jnp.broadcast_to(idx, (rc, 128))
 
 
-@jax.jit
-def gumbel_argmax_pallas(logits: jax.Array, key: jax.Array) -> jax.Array:
-    """ids = argmax(logits + Gumbel noise) over the last axis.
-
-    logits: (..., V) -> (...) int32. Noise is drawn on-core (never
-    materialized); deterministic per (key, shape). Forward-value equivalent
-    to hard gumbel_softmax at tau=1 under stop_gradient."""
-    *lead, v = logits.shape
-    rows = 1
-    for s in lead:
-        rows *= s
-    x = jax.lax.stop_gradient(logits).reshape(rows, v)
+def _gumbel_rows(x: jax.Array, seed: jax.Array) -> jax.Array:
+    """(rows, V) logits + (2,) int32 seed -> (rows,) int32 winners."""
+    rows, v = x.shape
     vpad = round_up(v, 128)
     # f32 noise+val working set dominates: keep (chunk, Vpad) f32 ~4MB
     chunk = max(8, min(256, (4 * 1024 * 1024) // (4 * vpad)))
@@ -97,12 +88,6 @@ def gumbel_argmax_pallas(logits: jax.Array, key: jax.Array) -> jax.Array:
     rpad = round_up(rows, chunk)
     if rpad != rows or vpad != v:
         x = jnp.pad(x, ((0, rpad - rows), (0, vpad - v)))
-    try:
-        data = jax.random.key_data(key)  # typed key
-    except TypeError:
-        data = jnp.asarray(key)  # raw uint32 key array
-    seed = data.astype(jnp.int32).reshape(-1)[:2]
-
     out = pl.pallas_call(
         partial(_gumbel_argmax_kernel, v, not interpret_flag()),
         grid=(rpad // chunk,),
@@ -114,7 +99,55 @@ def gumbel_argmax_pallas(logits: jax.Array, key: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((rpad, 128), jnp.int32),
         interpret=interpret_flag(),
     )(seed, x)
-    return out[:rows, 0].reshape(lead)
+    return out[:rows, 0]
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _gumbel_argmax(logits: jax.Array, key: jax.Array, mesh=None) -> jax.Array:
+    *lead, v = logits.shape
+    rows = 1
+    for s in lead:
+        rows *= s
+    x = jax.lax.stop_gradient(logits).reshape(rows, v)
+    try:
+        data = jax.random.key_data(key)  # typed key
+    except TypeError:
+        data = jnp.asarray(key)  # raw uint32 key array
+    seed = data.astype(jnp.int32).reshape(-1)[:2]
+
+    if mesh is not None and rows % mesh.shape["data"] == 0:
+        # batch-shard the opaque pallas_call like fps/knn/gather
+        # (ops/_backend.py) — GSPMD would otherwise all-gather through it.
+        # Each shard folds its axis index into the seed so the on-core noise
+        # streams stay independent across chips (replicating the seed would
+        # reuse the identical Gumbel draw on every shard).
+        from jax.sharding import PartitionSpec
+        from jax import shard_map
+
+        def shard_fn(xs, seed):
+            idx = jax.lax.axis_index("data").astype(jnp.int32)
+            s = seed.at[0].set(seed[0] ^ (idx * jnp.int32(-1640531527)))
+            return _gumbel_rows(xs, s)
+
+        out = shard_map(shard_fn, mesh=mesh,
+                        in_specs=(PartitionSpec("data"), PartitionSpec()),
+                        out_specs=PartitionSpec("data"),
+                        check_vma=False)(x, seed)
+    else:
+        out = _gumbel_rows(x, seed)
+    return out.reshape(lead)
+
+
+def gumbel_argmax_pallas(logits: jax.Array, key: jax.Array) -> jax.Array:
+    """ids = argmax(logits + Gumbel noise) over the last axis.
+
+    logits: (..., V) -> (...) int32. Noise is drawn on-core (never
+    materialized); deterministic per (key, shape, active kernel mesh).
+    Forward-value equivalent to hard gumbel_softmax at tau=1 under
+    stop_gradient. On a multi-chip kernel mesh the dispatch shards over the
+    'data' axis with per-shard decorrelated seeds."""
+    from act_tpu.ops._backend import current_kernel_mesh
+    return _gumbel_argmax(logits, key, current_kernel_mesh())
 
 
 def use_fused_gumbel() -> bool:

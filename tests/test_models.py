@@ -414,6 +414,39 @@ class TestVisibleOnlyEmbedding:
                            mutable=["batch_stats"])[0]
         assert np.isfinite(float(loss[0] if isinstance(loss, tuple) else loss))
 
+    def test_block_mask_embeds_all_groups(self, rng):
+        """'block' masking picks a spatially anti-correlated visible subset,
+        so the student embeds ALL groups there (ADVICE r2): train-mode BN
+        batch stats must equal a full-neighborhood GroupEncoder pass."""
+        from act_tpu.models.act import VisableOnlyMaskTransformer
+        from act_tpu.models.common import GroupEncoder
+        cfg = ConfigDict(dict(
+            transformer_config=dict(mask_ratio=0.5, mask_type="block",
+                                    embed_dim=32, depth=1, num_heads=4,
+                                    cls_dim=16, drop_path_rate=0.0),
+            dvae_config=dict(encoder_dims=32)))
+        model = VisableOnlyMaskTransformer(cfg)
+        nbr = jnp.asarray(rng.normal(size=(4, 32, 16, 3)).astype(np.float32))
+        center = jnp.asarray(rng.normal(size=(4, 32, 3)).astype(np.float32))
+        k = jax.random.PRNGKey(0)
+        rngs = dict(params=k, mask=jax.random.fold_in(k, 1),
+                    dropout=jax.random.fold_in(k, 2),
+                    droppath=jax.random.fold_in(k, 3))
+        variables = model.init(rngs, nbr, center)
+        _, newv = model.apply(variables, nbr, center, train=True, rngs=rngs,
+                              mutable=["batch_stats"])
+        ge = GroupEncoder(32)
+        _, ge_new = ge.apply(
+            {"params": variables["params"]["encoder"],
+             "batch_stats": variables["batch_stats"]["encoder"]},
+            nbr, train=True, mutable=["batch_stats"])
+        for kk in ("bn1", "bn2"):
+            for stat in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(newv["batch_stats"]["encoder"][kk][stat]),
+                    np.asarray(ge_new["batch_stats"][kk][stat]),
+                    rtol=1e-5, atol=1e-6)
+
 
 class TestFastUniform:
     """fast_uniform (hardware rbg PRNG) must be a well-behaved U(minval, 1):

@@ -333,6 +333,25 @@ class TestKernelShardMap:
         np.testing.assert_allclose(float(s), float(ref_n.sum()), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(center), np.asarray(ref_c))
 
+    def test_gumbel_argmax_sharded(self, rng):
+        """Fused gumbel dispatch shards over 'data' (ADVICE r2): dominant
+        logits still win everywhere, and the per-shard seed fold keeps the
+        noise streams distinct across shards (a replicated seed would draw
+        the identical Gumbel pattern on every chip)."""
+        from act_tpu.ops._backend import kernel_mesh
+        from act_tpu.ops import sampling
+        logits = jnp.asarray(rng.normal(size=(16, 4, 256)).astype(np.float32))
+        with kernel_mesh(self._mesh()):
+            ids = sampling.gumbel_argmax_pallas(logits * 1e6,
+                                                jax.random.PRNGKey(0))
+            np.testing.assert_array_equal(
+                np.asarray(ids), np.asarray(jnp.argmax(logits, -1)))
+            flat = sampling.gumbel_argmax_pallas(
+                jnp.zeros((16, 4, 256), jnp.float32), jax.random.PRNGKey(0))
+        flat = np.asarray(flat)  # pure-noise winners, 2 rows per shard
+        shard_rows = flat.reshape(8, 2 * 4)
+        assert len({tuple(r) for r in shard_rows}) > 1
+
 
 class TestGatherPallas:
     def setup_method(self, method):
