@@ -24,7 +24,10 @@ from act_tpu.datasets.segmentation_datasets import (
     NUM_PART_CLASSES, NUM_SHAPE_CATEGORIES, S3DIS_NUM_CLASSES)
 from act_tpu.engine import checkpoint as ckpt_lib
 from act_tpu.engine.builder import build_schedule
-from act_tpu.engine.train_state import TrainState, step_rngs
+from act_tpu.engine.train_state import TrainState, step_rngs, _with_kernel_mesh
+from act_tpu.ops._backend import set_default_kernel_mesh
+from act_tpu.parallel import (DATA_AXIS, make_mesh, replicate, shard_batch)
+from jax.sharding import NamedSharding, PartitionSpec as P
 from act_tpu.models import MODELS
 from act_tpu.models.segmentation import nll_seg_loss
 from act_tpu.utils.config import ConfigDict
@@ -65,7 +68,8 @@ def evaluate_partseg(infer_fn, variables, loader, logger=None) -> Dict[str, floa
     correct, seen = 0, 0
     for pts, cls, seg in loader:
         one_hot = np.eye(NUM_SHAPE_CATEGORIES, dtype=np.float32)[cls]
-        logits = infer_fn(variables, jnp.asarray(pts), jnp.asarray(one_hot))
+        logits = infer_fn(variables, jnp.asarray(np.asarray(pts)[..., :3]),
+                          jnp.asarray(one_hot))
         cats = [sorted(SEG_CLASSES)[c] for c in np.asarray(cls)]
         logits = np.asarray(logits)
         for b, cat in enumerate(cats):
@@ -133,12 +137,25 @@ def run_partseg(args, logger=None):
     root = getattr(args, "root",
                    "data/shapenetcore_partanno_segmentation_benchmark_v0_normal")
     npoints = int(args.npoint)
-    train_ds = PartNormalDataset(root, npoints, split="trainval")
-    test_ds = PartNormalDataset(root, npoints, split="test")
+    # --normal selects the dataset's 6-channel (xyz+normal) output like the
+    # reference (part_segmentation/main.py:109-111). The backbone's grouping
+    # consumes xyz only — the reference model views neighborhoods as (..,3)
+    # (models/pt.py:46) so its normals were never consumable either; we take
+    # the working interpretation and feed the geometric channels.
+    use_normal = bool(getattr(args, "normal", False))
+    train_ds = PartNormalDataset(root, npoints, split="trainval",
+                                 normal_channel=use_normal)
+    test_ds = PartNormalDataset(root, npoints, split="test",
+                                normal_channel=use_normal)
     train_loader = DataLoader(train_ds, int(args.batch_size), shuffle=True,
                               drop_last=True, seed=0)
     test_loader = DataLoader(test_ds, int(args.batch_size), shuffle=False)
 
+    # same multi-chip story as every other runner (runner_finetune.py:99-100):
+    # batch sharded on 'data', params replicated, Pallas kernels shard_map'd
+    # (the reference seg CLIs are single-GPU, part_segmentation/main.py:124)
+    mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+    set_default_kernel_mesh(mesh)
     cfg = ConfigDict(dict(NAME="PartSegTransformer", cls_dim=NUM_PART_CLASSES,
                           num_group=int(getattr(args, "num_group", 128)),
                           group_size=32))
@@ -160,9 +177,12 @@ def run_partseg(args, logger=None):
 
     steps_per_epoch = max(len(train_loader), 1)
     state, schedule = _make_state(model, variables, args, steps_per_epoch)
+    state = replicate(mesh, state)
 
-    @jax.jit
     def train_step(state, pts, one_hot, seg, key):
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        pts, one_hot, seg = (jax.lax.with_sharding_constraint(x, sh)
+                             for x in (pts, one_hot, seg))
         rngs = step_rngs(key, state.step)
         rngs.pop("augment")
 
@@ -175,6 +195,8 @@ def run_partseg(args, logger=None):
             state.params)
         state = state.apply_gradients(grads)
         return state.replace(batch_stats=new_vars["batch_stats"]), loss
+
+    train_step = jax.jit(_with_kernel_mesh(train_step, mesh))
 
     @jax.jit
     def infer_fn(variables, pts, one_hot):
@@ -189,10 +211,11 @@ def run_partseg(args, logger=None):
         t0 = time.time()
         losses = []
         for idx, (pts, cls, seg) in enumerate(train_loader):
-            pts = _np_augment(np_rng, np.asarray(pts))
+            pts = _np_augment(np_rng, np.asarray(pts)[..., :3])
             one_hot = np.eye(NUM_SHAPE_CATEGORIES, dtype=np.float32)[cls]
-            state, loss = train_step(state, jnp.asarray(pts),
-                                     jnp.asarray(one_hot), jnp.asarray(seg),
+            state, loss = train_step(state, shard_batch(mesh, jnp.asarray(pts)),
+                                     shard_batch(mesh, jnp.asarray(one_hot)),
+                                     shard_batch(mesh, jnp.asarray(seg)),
                                      root_key)
             losses.append(float(loss))
             if max_steps and idx + 1 >= max_steps:
@@ -224,6 +247,9 @@ def run_semseg(args, logger=None):
     test_loader = DataLoader(test_ds, int(args.batch_size), shuffle=False)
     weights = jnp.asarray(train_ds.labelweights)
 
+    # multi-chip like run_partseg: batch on 'data', params replicated
+    mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+    set_default_kernel_mesh(mesh)
     cfg = ConfigDict(dict(NAME="SemSegTransformer", cls_dim=S3DIS_NUM_CLASSES,
                           num_group=int(getattr(args, "num_group", 128)),
                           group_size=32))
@@ -242,9 +268,12 @@ def run_semseg(args, logger=None):
 
     steps_per_epoch = max(len(train_loader), 1)
     state, schedule = _make_state(model, variables, args, steps_per_epoch)
+    state = replicate(mesh, state)
 
-    @jax.jit
     def train_step(state, pts, seg, key):
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        pts, seg = (jax.lax.with_sharding_constraint(x, sh)
+                    for x in (pts, seg))
         rngs = step_rngs(key, state.step)
         rngs.pop("augment")
 
@@ -257,6 +286,8 @@ def run_semseg(args, logger=None):
             state.params)
         state = state.apply_gradients(grads)
         return state.replace(batch_stats=new_vars["batch_stats"]), loss
+
+    train_step = jax.jit(_with_kernel_mesh(train_step, mesh))
 
     @jax.jit
     def infer_fn(variables, pts):
@@ -271,7 +302,8 @@ def run_semseg(args, logger=None):
         losses = []
         for idx, (pts, seg) in enumerate(train_loader):
             pts = _np_augment(np_rng, np.asarray(pts))
-            state, loss = train_step(state, jnp.asarray(pts), jnp.asarray(seg),
+            state, loss = train_step(state, shard_batch(mesh, jnp.asarray(pts)),
+                                     shard_batch(mesh, jnp.asarray(seg)),
                                      root_key)
             losses.append(float(loss))
             if max_steps and idx + 1 >= max_steps:

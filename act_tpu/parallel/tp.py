@@ -23,13 +23,28 @@ from act_tpu.parallel.mesh import MODEL_AXIS
 
 
 def tp_spec_for_path(path: str) -> P:
-    """Megatron MLP pair: fc1/c_fc column-parallel, fc2/c_proj row-parallel."""
+    """Megatron transformer shardings.
+
+    MLP pair: fc1/c_fc column-parallel, fc2/c_proj row-parallel. Attention:
+    the fused qkv kernel (C, 3C) column-parallel on its output dim, the
+    output proj kernel (C, C) row-parallel on its input dim — GSPMD inserts
+    the single all-reduce after each row-parallel contraction, exactly the
+    megatron schedule. Biases of column-parallel weights shard with their
+    output dim; row-parallel biases stay replicated (added after the
+    all-reduce)."""
     if "'mlp'" in path or "'c_fc'" in path or "'c_proj'" in path:
         if ("'fc1'" in path or "'c_fc'" in path) and "'kernel'" in path:
             return P(None, MODEL_AXIS)
         if ("'fc1'" in path or "'c_fc'" in path) and "'bias'" in path:
             return P(MODEL_AXIS)
         if ("'fc2'" in path or "'c_proj'" in path) and "'kernel'" in path:
+            return P(MODEL_AXIS, None)
+    if "'attn'" in path:
+        if "'qkv'" in path and "'kernel'" in path:
+            return P(None, MODEL_AXIS)
+        if "'qkv'" in path and "'bias'" in path:
+            return P(MODEL_AXIS)
+        if "'proj'" in path and "'kernel'" in path:
             return P(MODEL_AXIS, None)
     return P()
 
