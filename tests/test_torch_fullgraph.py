@@ -373,20 +373,29 @@ class TestStageIIFullGraph:
 
 
 class TorchPointTransformer(tnn.Module):
-    """Finetune classifier (reference models/act.py:727-910, mlp-3 head)."""
+    """Finetune classifier (reference models/act.py:727-910, mlp-3 head).
+    Parameterized so the parity rehearsal can build it at released full
+    scale (384/12/6); reduce_dim is Identity when dims match like the
+    reference (act.py:748-750)."""
 
-    def __init__(self, cls_dim=6):
+    def __init__(self, cls_dim=6, embed=None, enc_dims=None, depth=None,
+                 heads=None):
         super().__init__()
-        self.encoder = TorchMiniPointNet(ENC_DIMS)
-        self.reduce_dim = tnn.Linear(ENC_DIMS, EMBED)
-        self.cls_token = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
-        self.cls_pos = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        embed = EMBED if embed is None else embed
+        enc_dims = ENC_DIMS if enc_dims is None else enc_dims
+        depth = DEPTH if depth is None else depth
+        heads = HEADS if heads is None else heads
+        self.encoder = TorchMiniPointNet(enc_dims)
+        self.reduce_dim = (tnn.Linear(enc_dims, embed)
+                           if enc_dims != embed else tnn.Identity())
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, embed) * 0.02)
+        self.cls_pos = tnn.Parameter(torch.randn(1, 1, embed) * 0.02)
         self.pos_embed = tnn.Sequential(
-            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, EMBED))
-        self.blocks = TorchEncoderStack(EMBED, DEPTH, HEADS)
-        self.norm = tnn.LayerNorm(EMBED)
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, embed))
+        self.blocks = TorchEncoderStack(embed, depth, heads)
+        self.norm = tnn.LayerNorm(embed)
         self.cls_head_finetune = tnn.Sequential(
-            tnn.Linear(EMBED * 2, 256), tnn.BatchNorm1d(256),
+            tnn.Linear(embed * 2, 256), tnn.BatchNorm1d(256),
             tnn.ReLU(inplace=True), tnn.Dropout(0.5),
             tnn.Linear(256, 256), tnn.BatchNorm1d(256),
             tnn.ReLU(inplace=True), tnn.Dropout(0.5),
@@ -497,3 +506,64 @@ class TestPointTransformerFullGraph:
         params, _ = tc.convert_state_dict(
             sd, tc.point_transformer_rules(head="linear"))
         assert params["cls_head_finetune"]["kernel"].shape == (EMBED * 2, 6)
+
+
+@pytest.mark.slow
+class TestParityRehearsal:
+    """Full-size rehearsal of tools/parity_protocol.py (VERDICT r2 #1): a
+    fabricated torch state dict with the exact released key layout at the
+    published finetune_scan_hardest scale (embed 384 / depth 12 / heads 6 /
+    encoder 384, reference models/act.py:727-910 + the shipped config) goes
+    through the production converter -> orbax -> reference --test protocol
+    on the synthetic dataset fallback. Pins (a) the one-command pipeline runs
+    end-to-end, (b) converter key coverage at full scale incl. the
+    reduce_dim=Identity branch, (c) full-graph logits parity. Zero debugging
+    left for the day the real archives appear."""
+
+    def test_full_scale_pth_to_test_protocol(self, rng, tmp_path, monkeypatch):
+        from tools.parity_protocol import run_protocol
+        from act_tpu.engine import checkpoint as ckpt_lib
+
+        torch.manual_seed(11)
+        tmodel = TorchPointTransformer(cls_dim=15, embed=384, enc_dims=384,
+                                       depth=12, heads=6).eval()
+        pth = tmp_path / "released_scan_hardest.pth"
+        torch.save({"base_model": tmodel.state_dict()}, pth)
+
+        monkeypatch.chdir("/root/repo")
+        result = run_protocol("scan_hardest", str(pth),
+                              exp_name=f"rehearsal_{os.getpid()}")
+        assert 0.0 <= result["ours"] <= 100.0
+        assert result["zoo_acc"] == 88.21
+
+        # (b) converter coverage: the orbax tree must exactly cover the real
+        # finetune model's param/batch_stats trees (no missing, no extras)
+        loaded = ckpt_lib.load_checkpoint(
+            f"./work_dirs/parity/rehearsal_{os.getpid()}/converted.orbax")
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=384, depth=12,
+            drop_path_rate=0.1, cls_dim=15, num_heads=6, group_size=32,
+            num_group=128, encoder_dims=384, transfer_type="full"))
+        fmodel = PointTransformer(cfg)
+        k = jax.random.PRNGKey(0)
+        shapes = jax.eval_shape(
+            lambda: fmodel.init(dict(params=k, dropout=k, droppath=k),
+                                jnp.zeros((2, 2048, 3), jnp.float32)))
+        want_p = set(flatten_keys(shapes["params"]))
+        got_p = set(flatten_keys(loaded["params"]))
+        assert want_p == got_p, (sorted(want_p - got_p)[:5],
+                                 sorted(got_p - want_p)[:5])
+        want_b = set(flatten_keys(shapes["batch_stats"]))
+        got_b = set(flatten_keys(loaded["batch_stats"]))
+        assert want_b == got_b
+
+        # (c) full-graph logits parity at full scale (eval mode)
+        pts = jnp.asarray(rng.normal(size=(2, 1024, 3)).astype(np.float32))
+        got = np.asarray(fmodel.apply(
+            {"params": loaded["params"],
+             "batch_stats": loaded["batch_stats"]}, pts, train=False))
+        nbr, center = ops.group_points(pts, 128, 32)
+        with torch.no_grad():
+            expect = to_np(tmodel(torch.from_numpy(np.asarray(nbr)),
+                                  torch.from_numpy(np.asarray(center))))
+        np.testing.assert_allclose(got, expect, atol=1e-3)

@@ -1,0 +1,167 @@
+"""Turnkey released-checkpoint parity protocol (MODEL_ZOO comparison).
+
+One command per MODEL_ZOO row: converts the released torch ``.pth`` through
+the production converter rules, evaluates with the reference protocol
+(``--test`` [+300-round ``--vote``] for classification checkpoints, or a full
+finetune from a converted pretrain checkpoint), and prints the comparison
+table against the MODEL_ZOO accuracy (reference model_zoo/MODEL_ZOO.md:10-19).
+
+Usage (datasets at the standard ./data layout, or pass --data_root):
+
+    # released finetuned classifier -> test-protocol OA vs the zoo number
+    python tools/parity_protocol.py --ckpt ckpt_scan_hardest.pth \
+        --task scan_hardest --vote
+
+    # released Stage-II pretrain ckpt -> full finetune -> OA
+    python tools/parity_protocol.py --ckpt ckpt_pretrain.pth \
+        --task modelnet --from_pretrain
+
+The end-to-end pipeline (fabricated full-size released-layout state dict ->
+converter -> orbax -> test protocol) is rehearsed by
+``tests/test_torch_fullgraph.py::TestParityRehearsal`` so this command needs
+zero debugging the day the archives are available.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# MODEL_ZOO.md rows: task -> (finetune config, released OA %)
+TASKS = {
+    "scan_hardest": ("cfgs/finetune_classification/full/finetune_scan_hardest.yaml", 88.21),
+    "scan_objbg": ("cfgs/finetune_classification/full/finetune_scan_objbg.yaml", 93.29),
+    "scan_objonly": ("cfgs/finetune_classification/full/finetune_scan_objonly.yaml", 91.91),
+    "modelnet": ("cfgs/finetune_classification/full/finetune_modelnet.yaml", 93.70),
+}
+
+
+def convert_pth(src: str, dst: str, model: str, head: str = "mlp-3",
+                state_key: str = "base_model") -> None:
+    """.pth -> orbax via the production rules (tools/convert_checkpoint.py)."""
+    from act_tpu.engine import torch_convert as tc
+    import orbax.checkpoint as ocp
+
+    sd = tc.load_torch_state_dict(src, key=state_key)
+    print(f"[PARITY] loaded {len(sd)} torch tensors from {src}")
+    if model == "PointTransformer":
+        rules = tc.point_transformer_rules(head=head)
+    elif model == "ACT_PointDistillation":
+        rules = tc.act_distillation_rules(teacher_arch="vit")
+    else:
+        raise SystemExit(f"unsupported model {model}")
+    params, batch_stats = tc.convert_state_dict(sd, rules)
+    payload = {"params": params, "batch_stats": batch_stats,
+               "buffers": {}, "opt_state": None, "step": 0, "epoch": 0,
+               "metrics": {}, "best_metrics": {}}
+    ocp.PyTreeCheckpointer().save(os.path.abspath(dst), payload, force=True)
+    print(f"[PARITY] wrote {dst}")
+
+
+def _rewrite_data_root(config, data_root: str) -> None:
+    """Point every dataset path key at ``data_root`` instead of ./data."""
+    def walk(node):
+        if not hasattr(node, "items"):
+            return
+        for k, v in list(node.items()):
+            if k in ("ROOT", "DATA_PATH", "PC_PATH") and isinstance(v, str):
+                node[k] = os.path.join(data_root,
+                                       os.path.relpath(v, "data"))
+            elif hasattr(v, "items"):
+                walk(v)
+    walk(config.dataset)
+
+
+def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
+                 from_pretrain: bool = False, data_root: str = None,
+                 exp_name: str = None, smoke: bool = False):
+    """Convert + evaluate one MODEL_ZOO row. Returns the result dict."""
+    from act_tpu.utils.parser import get_args
+    from act_tpu.utils.config import get_config
+    from act_tpu.engine import runner_finetune
+
+    cfg_path, zoo_acc = TASKS[task]
+    exp_name = exp_name or f"parity_{task}"
+
+    model = "ACT_PointDistillation" if from_pretrain else "PointTransformer"
+    orbax_dir = os.path.join("./work_dirs", "parity", exp_name,
+                             "converted.orbax")
+    os.makedirs(os.path.dirname(orbax_dir), exist_ok=True)
+    convert_pth(ckpt_pth, orbax_dir, model)
+
+    argv = ["--config", cfg_path, "--exp_name", exp_name,
+            "--ckpts", orbax_dir]
+    if from_pretrain:
+        argv += ["--finetune_model"]
+    else:
+        argv += ["--test"]
+    if vote:
+        argv += ["--vote"]
+    if smoke:
+        argv += ["--smoke"]
+    args = get_args(argv)
+    config = get_config(args)
+    if data_root:
+        _rewrite_data_root(config, data_root)
+
+    if from_pretrain:
+        # full finetune from the converted pretrain weights, then report the
+        # best validation OA (the reference's finetune recipe end-to-end)
+        runner_finetune.run_net(args, config)
+        argv_t = ["--config", cfg_path, "--exp_name", exp_name + "_eval",
+                  "--ckpts", os.path.join(args.experiment_path, "ckpt-best"),
+                  "--test"] + (["--vote"] if vote else []) \
+                 + (["--smoke"] if smoke else [])
+        args_t = get_args(argv_t)
+        config_t = get_config(args_t)
+        if data_root:
+            _rewrite_data_root(config_t, data_root)
+        acc = runner_finetune.test_net(args_t, config_t)
+    else:
+        acc = runner_finetune.test_net(args, config)
+
+    ours = float(getattr(acc, "vote", 0.0) or acc.acc)
+    delta = ours - zoo_acc
+    result = {"task": task, "config": cfg_path, "zoo_acc": zoo_acc,
+              "ours": ours, "delta": delta,
+              "within_0.2": abs(delta) <= 0.2, "vote": vote,
+              "from_pretrain": from_pretrain}
+    return result
+
+
+def print_table(results) -> None:
+    print("\n| task | config | zoo OA | ours | delta | within 0.2% |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        print(f"| {r['task']} | {os.path.basename(r['config'])} "
+              f"| {r['zoo_acc']:.2f} | {r['ours']:.2f} | {r['delta']:+.2f} "
+              f"| {'YES' if r['within_0.2'] else 'NO'} |")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True, help="released .pth")
+    parser.add_argument("--task", required=True, choices=sorted(TASKS))
+    parser.add_argument("--vote", action="store_true",
+                        help="300-round vote protocol (reference test :425)")
+    parser.add_argument("--from_pretrain", action="store_true",
+                        help="ckpt is a Stage-II pretrain .pth: finetune "
+                             "first, then test")
+    parser.add_argument("--data_root", default=None,
+                        help="dataset root replacing ./data")
+    parser.add_argument("--exp_name", default=None)
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny 2-step pipeline check")
+    args = parser.parse_args()
+
+    result = run_protocol(args.task, args.ckpt, vote=args.vote,
+                          from_pretrain=args.from_pretrain,
+                          data_root=args.data_root, exp_name=args.exp_name,
+                          smoke=args.smoke)
+    print_table([result])
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
