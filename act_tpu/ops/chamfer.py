@@ -55,7 +55,12 @@ def _nn_kernel(n_q: int, n_t: int, tile_m: int, xq_ref, yt_ref, dist_ref, idx_re
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + m * tile_m
         d = jnp.where(col < n_t, d, jnp.float32(3.4e38))
         tile_min = jnp.min(d, axis=1, keepdims=True)
-        tile_arg = jnp.argmin(d, axis=1).reshape(tn, 1).astype(jnp.int32) + m * tile_m
+        # first-argmin as min + min-index-of-min: two plain VPU reductions.
+        # A per-row lane argmin lowers to a serial select chain on Mosaic
+        # that dominated this kernel (3.3ms at (32,2048)^2 — same pathology
+        # measured 8x in ops/fps.py)
+        tile_arg = jnp.min(jnp.where(d == tile_min, col, jnp.int32(1 << 30)),
+                           axis=1, keepdims=True)
         take = tile_min < best_d
         return (jnp.where(take, tile_min, best_d), jnp.where(take, tile_arg, best_i))
 
@@ -107,6 +112,134 @@ def _nn_pallas(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return dist.reshape(B, npad)[:, :N], idx.reshape(B, npad)[:, :N]
 
 
+def _nn_pair_kernel(n_x: int, n_y: int, tile_m: int, n_tiles: int,
+                    xq_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref,
+                    cmin_ref, carg_ref):
+    """BOTH chamfer directions from ONE distance matrix.
+
+    The pair of directed nearest-neighbor reductions shares the (N, M)
+    distance computation: row minima give x->y, column minima (accumulated
+    across the query-tile grid steps in VMEM scratch, written at the last
+    step) give y->x — one dot + one d materialization for the pair instead
+    of two (measured 1.9 ms/direction at (32,2048)^2; the fused pair runs
+    ~1x, not 2x, of that).
+
+    xq_ref: (1, TN, 128) query tile; yt_ref: (1, 3, Mpad) target cloud;
+    d1/i1_ref: (1, 1, TN) row results; d2/i2_ref: (1, 1, Mpad) col results
+    (same block revisited across the n grid axis);
+    cmin/carg_ref: (1, Mpad) scratch carrying the running column minima.
+    """
+    tn = xq_ref.shape[1]
+    mpad = yt_ref.shape[2]
+    n = pl.program_id(1)
+    xq = xq_ref[0, :, 0:3]
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)  # (TN, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tn, tile_m), 0) + n * tn
+    row_valid = row < n_x
+
+    @pl.when(n == 0)
+    def _init():
+        cmin_ref[:] = jnp.full((1, mpad), 3.4e38, jnp.float32)
+        carg_ref[:] = jnp.zeros((1, mpad), jnp.int32)
+
+    def tile(m_start):
+        yt = yt_ref[0, :, pl.ds(m_start, tile_m)]  # (3, TM)
+        y2 = jnp.sum(yt * yt, axis=0, keepdims=True)  # (1, TM)
+        cross = jnp.dot(xq, yt, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d = x2 + y2 - 2.0 * cross  # (TN, TM)
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + m_start
+        # row direction: mask padded target columns
+        dr = jnp.where(col < n_y, d, jnp.float32(3.4e38)) \
+            if mpad != n_y else d
+        tile_min = jnp.min(dr, axis=1, keepdims=True)
+        tile_arg = jnp.min(jnp.where(dr == tile_min, col, jnp.int32(1 << 30)),
+                           axis=1, keepdims=True)
+        # col direction: mask padded query rows
+        dc = jnp.where(row_valid, d, jnp.float32(3.4e38))
+        cmin = jnp.min(dc, axis=0, keepdims=True)  # (1, TM)
+        carg = jnp.min(jnp.where(dc == cmin, row, jnp.int32(1 << 30)),
+                       axis=0, keepdims=True)
+        prev = cmin_ref[0:1, pl.ds(m_start, tile_m)]
+        prev_arg = carg_ref[0:1, pl.ds(m_start, tile_m)]
+        take = cmin < prev
+        cmin_ref[0:1, pl.ds(m_start, tile_m)] = jnp.where(take, cmin, prev)
+        carg_ref[0:1, pl.ds(m_start, tile_m)] = jnp.where(take, carg, prev_arg)
+        return tile_min, tile_arg
+
+    n_tiles_m = mpad // tile_m
+    if n_tiles_m == 1:
+        best_d, best_i = tile(0)
+    else:
+        # scratch updates inside fori_loop carry only the row-direction state;
+        # column scratch writes are Ref side effects
+        def body(m, carry):
+            bd, bi = carry
+            tmin, targ = tile(m * tile_m)
+            take = tmin < bd
+            return (jnp.where(take, tmin, bd), jnp.where(take, targ, bi))
+        init = (jnp.full((tn, 1), 3.4e38, jnp.float32),
+                jnp.zeros((tn, 1), jnp.int32))
+        best_d, best_i = jax.lax.fori_loop(0, n_tiles_m, body, init)
+    d1_ref[0, 0] = jnp.maximum(best_d.reshape(1, tn), 0.0)
+    i1_ref[0, 0] = best_i.reshape(1, tn)
+
+    @pl.when(n == n_tiles - 1)
+    def _flush():
+        d2_ref[0] = jnp.maximum(cmin_ref[:], 0.0)
+        i2_ref[0] = carg_ref[:]
+
+
+@jax.jit
+def _nn_pair_pallas(x: jax.Array, y: jax.Array):
+    """x: (B, N, 3), y: (B, M, 3) -> (d1 (B,N), i1 (B,N), d2 (B,M), i2 (B,M)).
+    Both directed NN reductions from one distance-matrix pass."""
+    B, N, _ = x.shape
+    M = y.shape[1]
+    tile_n = min(512, round_up(N, 8))
+    npad = round_up(N, tile_n)
+    mpad = round_up(M, 128)
+    # d tile (TN, TM) f32 + in/out tiles must fit scoped VMEM (~16MB)
+    tile_m = min(2048, mpad)
+    mpad = round_up(mpad, tile_m)
+    xq = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, npad - N), (0, 125)))
+    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
+    yt = jnp.pad(yt, ((0, 0), (0, 0), (0, mpad - M)))
+    n_tiles = npad // tile_n
+
+    d1, i1, d2, i2 = pl.pallas_call(
+        partial(_nn_pair_kernel, N, M, tile_m, n_tiles),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 128), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, mpad), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, tile_n), lambda b, n: (b, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_n), lambda b, n: (b, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mpad), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mpad), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_tiles, 1, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 1, tile_n), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, mpad), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, mpad), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, mpad), jnp.float32),
+                        pltpu.VMEM((1, mpad), jnp.int32)],
+        interpret=interpret_flag(),
+    )(xq, yt)
+    return (d1.reshape(B, npad)[:, :N], i1.reshape(B, npad)[:, :N],
+            d2.reshape(B, mpad)[:, :M], i2.reshape(B, mpad)[:, :M])
+
+
 def _nn_dense(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     N, M = x.shape[-2], y.shape[-2]
     if N * M <= 4096:
@@ -133,6 +266,21 @@ def _nearest(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return _nn_dense(x, y)
 
 
+def _nearest_pair(x: jax.Array, y: jax.Array):
+    """Both directed NN reductions; the whole-cloud regime shares one
+    distance-matrix pass (``_nn_pair_pallas``)."""
+    N, M = x.shape[-2], y.shape[-2]
+    if use_pallas() and N * M > _DENSE_LIMIT:
+        from act_tpu.ops._backend import current_kernel_mesh, shard_over_batch
+        mesh = current_kernel_mesh()
+        if mesh is not None:
+            return shard_over_batch(mesh, _nn_pair_pallas, x, y)
+        return _nn_pair_pallas(x, y)
+    d1, i1 = _nn_dense(x, y)
+    d2, i2 = _nn_dense(y, x)
+    return d1, i1, d2, i2
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP chamfer core
 # ---------------------------------------------------------------------------
@@ -140,14 +288,12 @@ def _nearest(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
 @jax.custom_vjp
 def chamfer_distances(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """x: (B, N, 3), y: (B, M, 3) -> (dist1 (B, N), dist2 (B, M)) squared distances."""
-    d1, _ = _nearest(x, y)
-    d2, _ = _nearest(y, x)
+    d1, _, d2, _ = _nearest_pair(x, y)
     return d1, d2
 
 
 def _chamfer_fwd(x, y):
-    d1, i1 = _nearest(x, y)
-    d2, i2 = _nearest(y, x)
+    d1, i1, d2, i2 = _nearest_pair(x, y)
     return (d1, d2), (x, y, i1, i2)
 
 
