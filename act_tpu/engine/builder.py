@@ -30,12 +30,16 @@ from act_tpu.utils.logger import print_log
 # ---------------------------------------------------------------------------
 
 def weight_decay_mask(params):
-    """True = apply decay. No decay for 1-D params, biases, or 'token' params."""
-    return jtu.tree_map_with_path(
-        lambda path, leaf: not (leaf.ndim <= 1
-                                or "bias" in jtu.keystr(path).lower()
-                                or "token" in jtu.keystr(path).lower()),
-        params)
+    """True = apply decay. No decay for 1-D params, biases, norm scales, or
+    'token' params. The 'scale' rule covers scanned transformer stacks, whose
+    per-layer LayerNorm scales are stacked to 2-D (depth, C) — without it the
+    stacked layout would silently start decaying them (the reference's rule
+    is ndim <= 1, tools/builder.py:38-51)."""
+    def decay(path, leaf):
+        p = jtu.keystr(path).lower()
+        return not (leaf.ndim <= 1 or "bias" in p or "token" in p
+                    or "'scale'" in p)
+    return jtu.tree_map_with_path(decay, params)
 
 
 def freeze_mask_from_paths(params, frozen_predicates) -> Any:

@@ -62,11 +62,16 @@ def resume_state(state, args, logger=None):
     same_tree = lambda a, b: (jax.tree_util.tree_structure(a)
                               == jax.tree_util.tree_structure(b))
     if not same_tree(params, state.params):
-        # Legacy checkpoint from before GroupEncoder/FoldingDecoder dropped
-        # their conv biases: fold them into the BN running means (exact) and
-        # reinitialize the optimizer moments — their tree still contains the
-        # dropped leaves, and pruning inside an arbitrary optax state is not
-        # worth the fragility for a one-time format migration (ADVICE r2).
+        # Legacy formats, migrated on the fly with the optimizer moments
+        # reinitialized (their tree mirrors the old layout; pruning inside an
+        # arbitrary optax state is not worth the fragility, ADVICE r2):
+        # 1. per-block transformer params from before the scanned stacks
+        # 2. conv biases from before GroupEncoder/FoldingDecoder dropped
+        #    theirs — folded into the BN running means (exact)
+        target_params = jax.device_get(state.params)
+        params = adapt_block_layout(params, target_params)
+        batch_stats = adapt_block_layout(
+            batch_stats, jax.device_get(state.batch_stats))
         params, batch_stats = fold_legacy_encoder_bias(params, batch_stats)
         if not same_tree(params, state.params):
             raise ValueError(
@@ -88,8 +93,10 @@ def resume_state(state, args, logger=None):
 
 def load_params_into(state, path: str, logger=None):
     payload = load_checkpoint(path)
-    return state.replace(params=payload["params"],
-                         batch_stats=payload.get("batch_stats", state.batch_stats))
+    params = adapt_block_layout(payload["params"],
+                                jax.device_get(state.params))
+    bs = payload.get("batch_stats", state.batch_stats)
+    return state.replace(params=params, batch_stats=bs)
 
 
 def strip_student_prefix(src: dict) -> dict:
@@ -138,6 +145,59 @@ def fold_legacy_encoder_bias(params: dict, batch_stats: dict):
     return params, batch_stats
 
 
+def adapt_block_layout(loaded, target):
+    """Convert between the two transformer-stack param layouts at the load
+    boundary: per-block subtrees ``blocks_0..blocks_{D-1}`` (torch-converted
+    checkpoints, legacy flax checkpoints, unscanned stacks) and the scanned
+    stacked layout ``blocks`` with a leading depth axis (models/common.py
+    TransformerEncoder/Decoder ``scan=True``). The TARGET tree decides the
+    direction per node; unrelated keys pass through untouched so
+    report_key_diff still sees genuine mismatches."""
+    if not isinstance(target, dict) or not isinstance(loaded, dict):
+        return loaded
+
+    def run_len(d):
+        n = 0
+        while f"blocks_{n}" in d:
+            n += 1
+        return n
+
+    out, handled = {}, set()
+    if ("blocks" in target and "blocks" not in loaded and "blocks_0" in loaded
+            and isinstance(target["blocks"], dict)):
+        n = run_len(loaded)
+        subs = [loaded[f"blocks_{i}"] for i in range(n)]
+        try:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *subs)
+            tgt = target["blocks"]
+            # pre-scan SegBackbone laid blocks_i flat in its own scope; the
+            # scanned layout nests them under a TransformerEncoder scope
+            if (isinstance(tgt, dict) and set(tgt) == {"blocks"}
+                    and "blocks" not in stacked):
+                stacked = {"blocks": stacked}
+            out["blocks"] = stacked
+            handled.update(f"blocks_{i}" for i in range(n))
+        except ValueError:
+            pass  # ragged structures: leave as-is, the key report will show
+    if "blocks_0" in target and "blocks" in loaded and "blocks" not in target:
+        n = run_len(target)
+        stacked = loaded["blocks"]
+        depth = min(np.asarray(x).shape[0] for x in
+                    jax.tree_util.tree_leaves(stacked)) if n else 0
+        if n and n == depth:
+            for i in range(n):
+                out[f"blocks_{i}"] = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x)[i], stacked)
+            handled.add("blocks")
+    for k, v in loaded.items():
+        if k in handled or k in out:
+            continue
+        out[k] = adapt_block_layout(v, target.get(k)) \
+            if isinstance(target.get(k), dict) else v
+    return out
+
+
 # ---------------------------------------------------------------------------
 # missing/unexpected key reports (reference utils/checkpoint.py:13-44)
 # ---------------------------------------------------------------------------
@@ -166,7 +226,9 @@ def report_key_diff(expected_params, loaded_params, logger=None):
 
 def merge_pretrained(params, loaded, logger=None):
     """Copy leaves from ``loaded`` into ``params`` wherever paths+shapes match
-    (strict=False load with missing/unexpected reporting)."""
+    (strict=False load with missing/unexpected reporting). Per-block vs
+    scanned-stacked transformer layouts are adapted to the target first."""
+    loaded = adapt_block_layout(loaded, params)
     flat_new = flatten_keys(loaded)
     merged_count = 0
 

@@ -116,7 +116,8 @@ class VisableOnlyMaskTransformer(nn.Module):
         self.blocks = TransformerEncoder(
             embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=tc.drop_path_rate, dtype=self.dtype,
-            remat=bool(tc.get("remat", False)), name="blocks")
+            remat=bool(tc.get("remat", False)),
+            scan=tc.get("scan", None), name="blocks")
         self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         self.cls_head = nn.Sequential([
             nn.Dense(self.cls_dim), nn.gelu, nn.Dense(self.cls_dim)])
@@ -222,7 +223,8 @@ class MaskTransformer(nn.Module):
                                      name="pos_embed")
         self.blocks = TransformerEncoder(
             embed_dim=self.embed_dim, depth=self.depth, num_heads=self.num_heads,
-            drop_path_rate=tc.drop_path_rate, dtype=self.dtype, name="blocks")
+            drop_path_rate=tc.drop_path_rate, dtype=self.dtype,
+            scan=tc.get("scan", None), name="blocks")
         self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         self.lm_head = nn.Dense(self.num_tokens, name="lm_head")
         self.cls_head = nn.Sequential([
@@ -381,7 +383,7 @@ class ACT_PointDistillation(nn.Module):
                 embed_dim=self.embed_dim, depth=tc.decoder_depth,
                 num_heads=tc.decoder_num_heads,
                 drop_path_rate=tc.drop_path_rate, dtype=dtype_from_cfg(tc),
-                name="ACT_decoder")
+                scan=tc.get("scan", None), name="ACT_decoder")
         if self.cls_loss:
             self.cls_pos = self.param("cls_pos", nn.initializers.normal(1.0),
                                       (1, 1, self.embed_dim))

@@ -43,15 +43,31 @@ def trunc_normal_init(std: float = 0.02):
     return nn.initializers.truncated_normal(stddev=std, lower=-2 * std, upper=2 * std)
 
 
+def scan_default() -> bool:
+    """Process default for scanning transformer stacks (ACT_TPU_SCAN env):
+    off = the unrolled per-block layout (runtime-optimal, production);
+    on = one nn.scan-compiled block body (compile-optimal, dev/CI). See the
+    measured tradeoff at TransformerEncoder.scan."""
+    import os
+    return os.environ.get("ACT_TPU_SCAN", "").lower() in ("1", "true", "on")
+
+
 class DropPath(nn.Module):
-    """Stochastic depth: drop the whole residual branch per sample."""
+    """Stochastic depth: drop the whole residual branch per sample.
+
+    ``rate_override`` (a traced scalar) replaces the static attribute rate —
+    used by the scanned transformer stacks, whose per-layer rates enter the
+    one compiled block body as a scan input instead of forcing a compile per
+    layer."""
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x: jax.Array, deterministic: bool,
+                 rate_override=None) -> jax.Array:
+        if deterministic or (rate_override is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = (1.0 - self.rate if rate_override is None
+                else 1.0 - rate_override)
         rng = self.make_rng("droppath")
         mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, mask_shape)
@@ -189,27 +205,40 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
-                 q_keep_from: int = 0) -> jax.Array:
+                 q_keep_from: int = 0, drop_path_rate=None) -> jax.Array:
         """``q_keep_from > 0``: compute outputs only for rows [q_keep_from:]
         (attention keys/values still see all rows) — exact when the leading
-        rows' outputs are discarded by the caller (deep-prompt teacher)."""
+        rows' outputs are discarded by the caller (deep-prompt teacher).
+        ``drop_path_rate``: traced per-layer stochastic-depth rate from a
+        scanned stack (overrides the static attribute)."""
         dim = x.shape[-1]
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
         h = Attention(self.num_heads, self.qkv_bias, self.qk_scale,
                       self.attn_drop, self.drop, dtype=self.dtype,
                       name="attn")(h, deterministic, q_keep_from=q_keep_from)
-        x = x[:, q_keep_from:] + DropPath(self.drop_path)(h, deterministic)
+        dp = DropPath(self.drop_path)
+        x = x[:, q_keep_from:] + dp(h, deterministic, drop_path_rate)
         h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
         h = Mlp(int(dim * self.mlp_ratio), drop=self.drop, dtype=self.dtype,
                 name="mlp")(h, deterministic)
-        x = x + DropPath(self.drop_path)(h, deterministic)
+        x = x + dp(h, deterministic, drop_path_rate)
         return x
 
 
 class TransformerEncoder(nn.Module):
     """Stack of Blocks; pos embedding is added at EVERY block input
     (x = block(x + pos)), the reference's Point-BERT convention
-    (models/act.py:109-112)."""
+    (models/act.py:109-112).
+
+    ``scan=True`` (default) lays the depth out as ONE ``nn.scan``-compiled
+    block body with stacked (depth, ...) params under scope ``blocks`` —
+    XLA optimizes a 12-deep stack once instead of twelve times, which is the
+    dominant share of the Stage-II cold compile (measured: the unrolled
+    student fwd+bwd alone is ~25% of the full-program compile). Per-layer
+    drop-path rates ride in as a scan input; per-layer RNG streams come from
+    ``split_rngs``. ``scan=False`` restores the unrolled per-block layout
+    (``blocks_0..``; legacy checkpoints are adapted on load, see
+    engine/checkpoint.py ``adapt_block_layout``)."""
     embed_dim: int
     depth: int
     num_heads: int
@@ -220,13 +249,53 @@ class TransformerEncoder(nn.Module):
     attn_drop: float = 0.0
     dtype: Any = None
     remat: bool = False
+    # None -> ACT_TPU_SCAN env (default off). Measured tradeoff on the
+    # Stage-II program (v5e, B=128): scan compiles 131.4s -> 24.5s (5.4x)
+    # but runs 4133 -> 3600 clouds/s (-13%; the stacked dynamic-sliced
+    # weights lose cross-layer layout/fusion — still -5% at unroll=12).
+    # Production training compiles once and runs for days, so the unrolled
+    # layout is the default; dev/CI flows opt in (ACT_TPU_SCAN=1, the
+    # multichip dryrun, `scan: true` in a model config). Checkpoints from
+    # either layout load into the other (engine/checkpoint.adapt_block_layout).
+    scan: Optional[bool] = None
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, pos: jax.Array, deterministic: bool = True,
                  return_hidden: Sequence[int] = ()) -> Tuple[jax.Array, list]:
+        block_cls = nn.remat(Block, static_argnums=(2, 3)) if self.remat \
+            else Block
+        use_scan = self.scan if self.scan is not None else scan_default()
+        if use_scan:
+            dpr = jnp.asarray(np.linspace(0, self.drop_path_rate, self.depth),
+                              jnp.float32)
+            layer_idx = jnp.arange(self.depth, dtype=jnp.int32)
+            hooks = tuple(return_hidden)
+            blk = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
+                            drop=self.drop, attn_drop=self.attn_drop,
+                            dtype=self.dtype, name="blocks")
+
+            def body(block, carry, xs):
+                rate, li = xs
+                x, hid = carry
+                y = block(x + pos, deterministic, 0, rate)
+                # hook outputs ride in the CARRY, selected at their layer —
+                # emitting per-layer ys would materialize a (depth, B, N, C)
+                # stack (and its cotangent) for one needed slice
+                hid = tuple(jnp.where(li == h, y, hh)
+                            for h, hh in zip(hooks, hid))
+                return (y, hid), ()
+
+            scan_fn = nn.scan(body, variable_axes={"params": 0},
+                              split_rngs={"params": True, "dropout": True,
+                                          "droppath": True},
+                              in_axes=0, out_axes=0, length=self.depth,
+                              unroll=self.scan_unroll)
+            init_hid = tuple(jnp.zeros_like(x) for _ in hooks)
+            (x, hid), _ = scan_fn(blk, (x, init_hid), (dpr, layer_idx))
+            return x, list(hid)
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         hidden = []
-        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         for i in range(self.depth):
             x = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
                           drop=self.drop, attn_drop=self.attn_drop,
@@ -246,15 +315,34 @@ class TransformerDecoder(nn.Module):
     drop_path_rate: float = 0.1
     mlp_ratio: float = 4.0
     dtype: Any = None
+    scan: Optional[bool] = None  # None -> ACT_TPU_SCAN (TransformerEncoder)
 
     @nn.compact
     def __call__(self, x: jax.Array, pos: jax.Array, return_token_num: int,
                  deterministic: bool = True) -> jax.Array:
-        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
-        for i in range(self.depth):
-            x = Block(self.num_heads, self.mlp_ratio, drop_path=dpr[i],
-                      dtype=self.dtype,
-                      name=f"blocks_{i}")(x + pos, deterministic)
+        use_scan = self.scan if self.scan is not None else scan_default()
+        if use_scan:
+            dpr = jnp.asarray(np.linspace(0, self.drop_path_rate, self.depth),
+                              jnp.float32)
+            blk = Block(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                        name="blocks")
+
+            def body(block, carry, rate):
+                y = block(carry + pos, deterministic, 0, rate)
+                return y, ()
+
+            scan_fn = nn.scan(body, variable_axes={"params": 0},
+                              split_rngs={"params": True, "dropout": True,
+                                          "droppath": True},
+                              in_axes=0, out_axes=0, length=self.depth)
+            x, _ = scan_fn(blk, x, dpr)
+        else:
+            dpr = [float(r) for r in
+                   np.linspace(0, self.drop_path_rate, self.depth)]
+            for i in range(self.depth):
+                x = Block(self.num_heads, self.mlp_ratio, drop_path=dpr[i],
+                          dtype=self.dtype,
+                          name=f"blocks_{i}")(x + pos, deterministic)
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm")(x[:, -return_token_num:])
         return x
 

@@ -61,7 +61,8 @@ class PointTransformer(nn.Module):
         self.pos_embed = PosEmbedMLP(cfg.embed_dim, name="pos_embed")
         self.blocks = TransformerEncoder(
             embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
-            drop_path_rate=cfg.drop_path_rate, name="blocks")
+            drop_path_rate=cfg.drop_path_rate,
+            scan=cfg.get("scan", None), name="blocks")
         self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
 
         if self.transfer_type == "linear":

@@ -19,7 +19,8 @@ from flax import linen as nn
 from act_tpu import ops
 from act_tpu.models.build import MODELS
 from act_tpu.utils.config import as_cfg
-from act_tpu.models.common import (Block, GroupEncoder, PosEmbedMLP)
+from act_tpu.models.common import (GroupEncoder, PosEmbedMLP,
+                                   TransformerEncoder)
 import numpy as np
 
 
@@ -67,14 +68,13 @@ class SegBackbone(nn.Module):
         tokens = GroupEncoder(self.encoder_dims, name="encoder")(
             neighborhood, train=train)
         pos = PosEmbedMLP(self.trans_dim, name="pos_embed")(center)
-        dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
-        x = tokens
-        feats = []
-        for i in range(self.depth):
-            x = Block(self.num_heads, drop_path=dpr[i],
-                      name=f"blocks_{i}")(x + pos, deterministic=not train)
-            if i in self.fetch_idx:
-                feats.append(x)
+        # shared scanned stack (models/common.py); legacy flat blocks_i
+        # checkpoints are re-nested + stacked on load (adapt_block_layout)
+        _, feats = TransformerEncoder(
+            embed_dim=self.trans_dim, depth=self.depth,
+            num_heads=self.num_heads, drop_path_rate=self.drop_path_rate,
+            name="blocks")(tokens, pos, deterministic=not train,
+                           return_hidden=self.fetch_idx)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         feats = [norm(f) for f in feats]
         return jnp.concatenate(feats, axis=-1), center  # (B, G, 1152), (B, G, 3)

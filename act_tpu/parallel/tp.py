@@ -50,12 +50,20 @@ def tp_spec_for_path(path: str) -> P:
 
 
 def tp_param_shardings(params, mesh):
-    """NamedSharding pytree for ``params`` (replicated when model axis = 1)."""
+    """NamedSharding pytree for ``params`` (replicated when model axis = 1).
+
+    Specs from tp_spec_for_path describe the TRAILING (in/out feature) dims;
+    scanned transformer stacks carry a leading depth axis, padded with None
+    so the same rules shard both layouts."""
     if mesh.shape[MODEL_AXIS] == 1:
         return jtu.tree_map(lambda _: NamedSharding(mesh, P()), params)
-    return jtu.tree_map_with_path(
-        lambda path, _: NamedSharding(mesh, tp_spec_for_path(jtu.keystr(path))),
-        params)
+
+    def spec(path, leaf):
+        s = tp_spec_for_path(jtu.keystr(path))
+        if len(s) and leaf.ndim > len(s):
+            s = P(*([None] * (leaf.ndim - len(s)) + list(s)))
+        return NamedSharding(mesh, s)
+    return jtu.tree_map_with_path(spec, params)
 
 
 def shard_params_tp(params, mesh):

@@ -345,7 +345,7 @@ class TestTensorParallel:
         cfg = ConfigDict(dict(
             NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.0,
             cls_dim=8, num_heads=4, group_size=8, num_group=16,
-            encoder_dims=32, transfer_type="full"))
+            encoder_dims=32, transfer_type="full", scan=True))
         model = MODELS.build(cfg)
         key = jax.random.PRNGKey(0)
         pts = jnp.zeros((8, 128, 3))
@@ -361,15 +361,14 @@ class TestTensorParallel:
         with mesh:
             state, metrics = step(state, pts, labels, key)
         assert np.isfinite(float(metrics["loss"]))
-        fc1 = state.params["blocks"]["blocks_0"]["mlp"]["fc1"]["kernel"]
-        assert tuple(fc1.sharding.spec) == (None, "model")
         def norm(leaf):
             s = tuple(leaf.sharding.spec)
             return s + (None,) * (leaf.ndim - len(s))  # trailing None trimmed
-        qkv = state.params["blocks"]["blocks_0"]["attn"]["qkv"]["kernel"]
-        assert norm(qkv) == (None, "model")
-        proj = state.params["blocks"]["blocks_0"]["attn"]["proj"]["kernel"]
-        assert norm(proj) == ("model", None)
+        # scanned stack: leading depth axis stays replicated
+        blk = state.params["blocks"]["blocks"]
+        assert norm(blk["mlp"]["fc1"]["kernel"]) == (None, None, "model")
+        assert norm(blk["attn"]["qkv"]["kernel"]) == (None, None, "model")
+        assert norm(blk["attn"]["proj"]["kernel"]) == (None, "model", None)
 
     def test_tp_matches_dp_numerically(self):
         """TP=2 and pure DP produce the same loss and the same updated params
@@ -570,3 +569,55 @@ class TestParserFlagSurface:
                          "--num_workers", "2", "--val_freq", "2"])
         assert args.loss == "cd1"
         assert args.seed == 3
+
+
+class TestBlockLayoutAdapter:
+    """adapt_block_layout: per-block trees (torch-converted / legacy /
+    unrolled) <-> scanned stacked layout, direction decided by the target."""
+
+    def _blk(self, v):
+        return {"attn": {"qkv": {"kernel": np.full((4, 12), v, np.float32)}}}
+
+    def test_stack_direction(self):
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        loaded = {"enc": {"blocks_0": self._blk(0.0), "blocks_1": self._blk(1.0)},
+                  "other": np.ones(3)}
+        target = {"enc": {"blocks": self._blk(0.0)}, "other": np.ones(3)}
+        out = adapt_block_layout(loaded, target)
+        k = out["enc"]["blocks"]["attn"]["qkv"]["kernel"]
+        assert k.shape == (2, 4, 12)
+        np.testing.assert_allclose(k[1], 1.0)
+        np.testing.assert_allclose(out["other"], 1.0)  # untouched
+
+    def test_wrap_direction_flat_legacy(self):
+        """Pre-scan SegBackbone had blocks_i flat in its own scope; the
+        TransformerEncoder refactor nests them one level deeper."""
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        loaded = {"blocks_0": self._blk(0.0), "blocks_1": self._blk(3.0)}
+        target = {"blocks": {"blocks": self._blk(0.0)}}
+        out = adapt_block_layout(loaded, target)
+        k = out["blocks"]["blocks"]["attn"]["qkv"]["kernel"]
+        assert k.shape == (2, 4, 12)
+        np.testing.assert_allclose(k[1], 3.0)
+
+    def test_unstack_direction(self):
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        stacked = {"attn": {"qkv": {"kernel": np.stack(
+            [np.full((4, 12), float(i), np.float32) for i in range(3)])}}}
+        loaded = {"enc": {"blocks": stacked}}
+        target = {"enc": {"blocks_0": self._blk(0), "blocks_1": self._blk(0),
+                          "blocks_2": self._blk(0)}}
+        out = adapt_block_layout(loaded, target)
+        np.testing.assert_allclose(
+            out["enc"]["blocks_2"]["attn"]["qkv"]["kernel"], 2.0)
+
+    def test_merge_pretrained_applies_adapter(self):
+        from act_tpu.engine.checkpoint import merge_pretrained
+        loaded = {"enc": {"blocks_0": self._blk(5.0), "blocks_1": self._blk(6.0)}}
+        target = {"enc": {"blocks": {"attn": {"qkv": {
+            "kernel": np.zeros((2, 4, 12), np.float32)}}}}}
+        merged = merge_pretrained(target, loaded)
+        np.testing.assert_allclose(
+            merged["enc"]["blocks"]["attn"]["qkv"]["kernel"][0], 5.0)
+        np.testing.assert_allclose(
+            merged["enc"]["blocks"]["attn"]["qkv"]["kernel"][1], 6.0)

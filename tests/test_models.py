@@ -519,3 +519,56 @@ class TestFpsSubsampleDistribution:
         expected = n_out / n_fps
         assert abs(marg.mean() - expected) < 0.01
         assert np.abs(marg - expected).max() < 0.15  # uniform, no hot spots
+
+
+class TestScannedStacks:
+    """TransformerEncoder/Decoder scan=True (one nn.scan-compiled block body,
+    stacked params) must match the unrolled per-block layout exactly given
+    restacked weights — the compile/runtime tradeoff is a layout choice, not
+    a semantics change (models/common.py)."""
+
+    def test_encoder_scan_matches_unrolled(self, rng):
+        from act_tpu.models.common import TransformerEncoder
+        B, V, C, D = 4, 14, 32, 4
+        x = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+        k = jax.random.PRNGKey(0)
+        enc = TransformerEncoder(embed_dim=C, depth=D, num_heads=4,
+                                 drop_path_rate=0.1, scan=True)
+        v = enc.init(dict(params=k, dropout=k, droppath=k), x, pos)
+        stacked = v["params"]["blocks"]
+        assert stacked["attn"]["qkv"]["kernel"].shape[0] == D
+        pu = {f"blocks_{i}": jax.tree_util.tree_map(lambda a: a[i], stacked)
+              for i in range(D)}
+        enc_u = TransformerEncoder(embed_dim=C, depth=D, num_heads=4,
+                                   drop_path_rate=0.1, scan=False)
+        o1, h1 = enc.apply({"params": v["params"]}, x, pos,
+                           return_hidden=(2,))
+        o2, h2 = enc_u.apply({"params": pu}, x, pos, return_hidden=(2,))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(h1[0]), np.asarray(h2[0]),
+                                   atol=2e-5)
+
+    def test_decoder_scan_matches_unrolled(self, rng):
+        from act_tpu.models.common import TransformerDecoder
+        B, V, C, D = 2, 10, 32, 3
+        x = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+        k = jax.random.PRNGKey(0)
+        dec = TransformerDecoder(embed_dim=C, depth=D, num_heads=4, scan=True)
+        v = dec.init(dict(params=k, dropout=k, droppath=k), x, pos, 4)
+        pu = {f"blocks_{i}": jax.tree_util.tree_map(
+            lambda a: a[i], v["params"]["blocks"]) for i in range(D)}
+        pu["norm"] = v["params"]["norm"]
+        dec_u = TransformerDecoder(embed_dim=C, depth=D, num_heads=4,
+                                   scan=False)
+        o1 = dec.apply({"params": v["params"]}, x, pos, 4)
+        o2 = dec_u.apply({"params": pu}, x, pos, 4)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
+
+    def test_env_default_off(self, monkeypatch):
+        from act_tpu.models.common import scan_default
+        monkeypatch.delenv("ACT_TPU_SCAN", raising=False)
+        assert scan_default() is False
+        monkeypatch.setenv("ACT_TPU_SCAN", "1")
+        assert scan_default() is True

@@ -320,6 +320,10 @@ class TestStageIIFullGraph:
         fmodel = ACT_PointDistillation(cfg)
         pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
         variables = fmodel.init(RNGS, pts)
+        # production load boundary: per-block converted trees stack onto the
+        # scanned student/decoder layouts (engine/checkpoint.py)
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        params = adapt_block_layout(params, jax.device_get(variables["params"]))
         # the Stage-II graph never calls the dVAE FoldingNet decoder, so flax
         # creates no params for it; the torch ckpt carries it unused (the
         # reference loads the dVAE strictly, models/act.py:1154-1156)
@@ -458,8 +462,12 @@ class TestConverterCLI:
             npoints=N))
         fmodel = PointTransformer(cfg)
         pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        key = jax.random.PRNGKey(0)
+        target = jax.eval_shape(lambda: fmodel.init(
+            dict(params=key, dropout=key, droppath=key), pts))
         got = np.asarray(fmodel.apply(
-            {"params": loaded["params"],
+            {"params": adapt_block_layout(loaded["params"], target["params"]),
              "batch_stats": loaded["batch_stats"]}, pts, train=False))
         nbr, center = ops.group_points(pts, G, M)
         with torch.no_grad():
@@ -485,6 +493,8 @@ class TestPointTransformerFullGraph:
         pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
         key = jax.random.PRNGKey(0)
         variables = fmodel.init(dict(params=key, dropout=key, droppath=key), pts)
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        params = adapt_block_layout(params, jax.device_get(variables["params"]))
         # torch has no cls_head (pretrain-only) here; assert student trunk +
         # head coverage
         assert_tree_covers(variables["params"], params, "PointTransformer")
@@ -549,6 +559,11 @@ class TestParityRehearsal:
         shapes = jax.eval_shape(
             lambda: fmodel.init(dict(params=k, dropout=k, droppath=k),
                                 jnp.zeros((2, 2048, 3), jnp.float32)))
+        # production load boundary stacks per-block trees onto the scanned
+        # layout; mirror it before the key-set comparison
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        loaded["params"] = adapt_block_layout(loaded["params"],
+                                              shapes["params"])
         want_p = set(flatten_keys(shapes["params"]))
         got_p = set(flatten_keys(loaded["params"]))
         assert want_p == got_p, (sorted(want_p - got_p)[:5],
