@@ -51,7 +51,8 @@ def _fps_kernel(n_points: int, n_samples: int, pts_ref, out_ref, dist_ref):
     def body(i, carry):
         cx, cy, cz, idx_vec = carry
         d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
-        dmin = jnp.minimum(dist_ref[:], jnp.where(valid, d, jnp.float32(-1.0)))
+        # padded lanes: initialized to -1 and d >= 0, so min keeps them there
+        dmin = jnp.minimum(dist_ref[:], d)
         dist_ref[:] = dmin
         # first-argmax as max + min-index-of-max (vectorizes; lane argmax
         # lowers to a serial select chain on Mosaic)
@@ -125,7 +126,10 @@ def _fps_kernel_batched(n_points: int, n_samples: int,
     def body(s, carry):
         cx, cy, cz, idx_vec = carry
         d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
-        dmin = jnp.minimum(dist_ref[:], jnp.where(valid, d, jnp.float32(-1.0)))
+        # no per-iter lane masking: padded lanes were initialized to dist -1
+        # and d >= 0, so the running min keeps them at -1 (one fewer VPU pass
+        # over (Bc, Npad) in the S-step hot loop)
+        dmin = jnp.minimum(dist_ref[:], d)
         dist_ref[:] = dmin
         # first-argmax via max + min-index-of-max: plain max/min reductions
         # vectorize on the VPU where a per-row lane argmax lowers to a slow

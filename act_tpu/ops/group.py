@@ -131,11 +131,14 @@ def fps_subsample(xyz: jax.Array, n_fps: int, n_out: int, key: jax.Array) -> jax
     order — identical distribution without the O(S*N) kernel."""
     B, N = xyz.shape[:2]
     n_fps = min(n_fps, N)
-    if n_fps == N:
-        pts = xyz
-    else:
-        idx = furthest_point_sample(xyz, n_fps)  # (B, n_fps)
-        pts = gather_coords(xyz, idx)
     keys = jax.random.split(key, B)
     sub = jax.vmap(lambda kk: jax.random.permutation(kk, n_fps)[:n_out])(keys)
-    return jnp.take_along_axis(pts, sub[:, :, None], axis=1)
+    if n_fps == N:
+        return gather_coords(xyz, sub)
+    idx = furthest_point_sample(xyz, n_fps)  # (B, n_fps)
+    # compose the FPS selection with the random sub-permutation so the cloud
+    # is gathered ONCE (profiled: the two-stage 8192->2400->2048 coordinate
+    # gathers cost 1.4 + 1.3 ms/step on the finetune path; the composed
+    # index gather is a single Pallas one-hot gather)
+    final = jnp.take_along_axis(idx, sub, axis=1)  # (B, n_out) int32
+    return gather_coords(xyz, final)
