@@ -135,7 +135,8 @@ def _nn_pair_kernel(n_x: int, n_y: int, tile_m: int, n_tiles: int,
     xq = xq_ref[0, :, 0:3]
     x2 = jnp.sum(xq * xq, axis=1, keepdims=True)  # (TN, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tn, tile_m), 0) + n * tn
-    row_valid = row < n_x
+    del n_x, n_y  # padding uses distinct huge sentinel coords (wrapper), so
+    # padded rows/cols lose every min race without per-tile mask passes
 
     @pl.when(n == 0)
     def _init():
@@ -149,16 +150,11 @@ def _nn_pair_kernel(n_x: int, n_y: int, tile_m: int, n_tiles: int,
                         precision=jax.lax.Precision.HIGHEST)
         d = x2 + y2 - 2.0 * cross  # (TN, TM)
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + m_start
-        # row direction: mask padded target columns
-        dr = jnp.where(col < n_y, d, jnp.float32(3.4e38)) \
-            if mpad != n_y else d
-        tile_min = jnp.min(dr, axis=1, keepdims=True)
-        tile_arg = jnp.min(jnp.where(dr == tile_min, col, jnp.int32(1 << 30)),
+        tile_min = jnp.min(d, axis=1, keepdims=True)
+        tile_arg = jnp.min(jnp.where(d == tile_min, col, jnp.int32(1 << 30)),
                            axis=1, keepdims=True)
-        # col direction: mask padded query rows
-        dc = jnp.where(row_valid, d, jnp.float32(3.4e38))
-        cmin = jnp.min(dc, axis=0, keepdims=True)  # (1, TM)
-        carg = jnp.min(jnp.where(dc == cmin, row, jnp.int32(1 << 30)),
+        cmin = jnp.min(d, axis=0, keepdims=True)  # (1, TM)
+        carg = jnp.min(jnp.where(d == cmin, row, jnp.int32(1 << 30)),
                        axis=0, keepdims=True)
         prev = cmin_ref[0:1, pl.ds(m_start, tile_m)]
         prev_arg = carg_ref[0:1, pl.ds(m_start, tile_m)]
@@ -202,9 +198,16 @@ def _nn_pair_pallas(x: jax.Array, y: jax.Array):
     # d tile (TN, TM) f32 + in/out tiles must fit scoped VMEM (~16MB)
     tile_m = min(2048, mpad)
     mpad = round_up(mpad, tile_m)
-    xq = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, npad - N), (0, 125)))
+    # padded rows/cols get DISTINCT huge sentinel coordinates: any pairing
+    # involving padding yields d ~ 1e34+ (>> any real distance at |coord|
+    # < ~1e8), so the kernel needs no per-tile validity mask passes (two
+    # fewer (TN, TM) VPU selects per tile). Distinct values so a padded
+    # row never zero-matches a padded col.
+    xq = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, npad - N), (0, 0)),
+                 constant_values=1e17)
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 125)))
     yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
-    yt = jnp.pad(yt, ((0, 0), (0, 0), (0, mpad - M)))
+    yt = jnp.pad(yt, ((0, 0), (0, 0), (0, mpad - M)), constant_values=2e17)
     n_tiles = npad // tile_n
 
     d1, i1, d2, i2 = pl.pallas_call(
@@ -238,6 +241,91 @@ def _nn_pair_pallas(x: jax.Array, y: jax.Array):
     )(xq, yt)
     return (d1.reshape(B, npad)[:, :N], i1.reshape(B, npad)[:, :N],
             d2.reshape(B, mpad)[:, :M], i2.reshape(B, mpad)[:, :M])
+
+
+def _nn_pair_min_kernel(tile_m: int, n_tiles: int,
+                        xq_ref, yt_ref, d1_ref, d2_ref, cmin_ref):
+    """Distance-only variant of ``_nn_pair_kernel`` for the primal
+    (non-differentiated) path: eval losses and recon metrics never read the
+    argmin indices, and the two eq+select+min argmin passes over the (TN, TM)
+    tile are the bulk of the indexed kernel's VPU time. Same sentinel-padding
+    contract as the indexed kernel (no mask passes)."""
+    tn = xq_ref.shape[1]
+    mpad = yt_ref.shape[2]
+    n = pl.program_id(1)
+    xq = xq_ref[0, :, 0:3]
+    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)  # (TN, 1)
+
+    @pl.when(n == 0)
+    def _init():
+        cmin_ref[:] = jnp.full((1, mpad), 3.4e38, jnp.float32)
+
+    def tile(m_start):
+        yt = yt_ref[0, :, pl.ds(m_start, tile_m)]  # (3, TM)
+        y2 = jnp.sum(yt * yt, axis=0, keepdims=True)
+        cross = jnp.dot(xq, yt, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d = x2 + y2 - 2.0 * cross  # (TN, TM)
+        sl = pl.ds(m_start, tile_m)
+        cmin_ref[0:1, sl] = jnp.minimum(cmin_ref[0:1, sl],
+                                        jnp.min(d, axis=0, keepdims=True))
+        return jnp.min(d, axis=1, keepdims=True)
+
+    n_tiles_m = mpad // tile_m
+    if n_tiles_m == 1:
+        best_d = tile(0)
+    else:
+        def body(m, bd):
+            return jnp.minimum(bd, tile(m * tile_m))
+        best_d = jax.lax.fori_loop(0, n_tiles_m, body,
+                                   jnp.full((tn, 1), 3.4e38, jnp.float32))
+    d1_ref[0, 0] = jnp.maximum(best_d.reshape(1, tn), 0.0)
+
+    @pl.when(n == n_tiles - 1)
+    def _flush():
+        d2_ref[0] = jnp.maximum(cmin_ref[:], 0.0)
+
+
+@jax.jit
+def _nn_pair_min_pallas(x: jax.Array, y: jax.Array):
+    """x: (B, N, 3), y: (B, M, 3) -> (d1 (B, N), d2 (B, M)); no indices."""
+    B, N, _ = x.shape
+    M = y.shape[1]
+    tile_n = min(512, round_up(N, 8))
+    npad = round_up(N, tile_n)
+    mpad = round_up(M, 128)
+    tile_m = min(2048, mpad)
+    mpad = round_up(mpad, tile_m)
+    xq = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, npad - N), (0, 0)),
+                 constant_values=1e17)
+    xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 125)))
+    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
+    yt = jnp.pad(yt, ((0, 0), (0, 0), (0, mpad - M)), constant_values=2e17)
+    n_tiles = npad // tile_n
+
+    d1, d2 = pl.pallas_call(
+        partial(_nn_pair_min_kernel, tile_m, n_tiles),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 128), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, mpad), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, tile_n), lambda b, n: (b, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mpad), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_tiles, 1, tile_n), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, mpad), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, mpad), jnp.float32)],
+        interpret=interpret_flag(),
+    )(xq, yt)
+    return d1.reshape(B, npad)[:, :N], d2.reshape(B, mpad)[:, :M]
 
 
 def _nn_dense(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -281,15 +369,36 @@ def _nearest_pair(x: jax.Array, y: jax.Array):
     return d1, i1, d2, i2
 
 
+def _nearest_pair_min(x: jax.Array, y: jax.Array):
+    """Distances only — the primal (non-differentiated) chamfer path skips
+    all four argmin passes of the indexed kernel."""
+    N, M = x.shape[-2], y.shape[-2]
+    if use_pallas() and N * M > _DENSE_LIMIT:
+        from act_tpu.ops._backend import current_kernel_mesh, shard_over_batch
+        mesh = current_kernel_mesh()
+        if mesh is not None:
+            return shard_over_batch(mesh, _nn_pair_min_pallas, x, y)
+        return _nn_pair_min_pallas(x, y)
+    if N * M <= 4096:
+        dxy = jnp.sum((x[:, :, None, :] - y[:, None, :, :]) ** 2, axis=-1)
+        return jnp.min(dxy, axis=-1), jnp.min(dxy, axis=-2)
+    d = ref_ops.square_distance(x, y)
+    return (jnp.maximum(jnp.min(d, axis=-1), 0.0),
+            jnp.maximum(jnp.min(d, axis=-2), 0.0))
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP chamfer core
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
 def chamfer_distances(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """x: (B, N, 3), y: (B, M, 3) -> (dist1 (B, N), dist2 (B, M)) squared distances."""
-    d1, _, d2, _ = _nearest_pair(x, y)
-    return d1, d2
+    """x: (B, N, 3), y: (B, M, 3) -> (dist1 (B, N), dist2 (B, M)) squared distances.
+
+    The primal runs only when nothing differentiates through the call (eval
+    losses, recon metrics) — it takes the distance-only kernel. Under grad,
+    ``_chamfer_fwd`` runs instead and saves argmin indices for the VJP."""
+    return _nearest_pair_min(x, y)
 
 
 def _chamfer_fwd(x, y):

@@ -204,6 +204,20 @@ class TestPallasInterpret:
             np.testing.assert_array_equal(np.asarray(i1), np.asarray(ii1))
             np.testing.assert_array_equal(np.asarray(i2), np.asarray(ii2))
 
+    def test_nn_pair_min_matches_dense(self, rng):
+        """Distance-only pair kernel (primal/eval path): row+col minima match
+        the dense reductions on ragged (sentinel-padded) sizes."""
+        for (N, M) in [(150, 300), (600, 2100), (513, 129)]:
+            x = jnp.asarray(rng.normal(size=(2, N, 3)).astype(np.float32))
+            y = jnp.asarray(rng.normal(size=(2, M, 3)).astype(np.float32))
+            d1, d2 = chamfer_mod._nn_pair_min_pallas(x, y)
+            dd1, _ = chamfer_mod._nn_dense(x, y)
+            dd2, _ = chamfer_mod._nn_dense(y, x)
+            np.testing.assert_allclose(np.asarray(d1), np.asarray(dd1),
+                                       atol=1e-3)
+            np.testing.assert_allclose(np.asarray(d2), np.asarray(dd2),
+                                       atol=1e-3)
+
     def test_fps_batched_pallas_matches_ref(self, rng):
         pts = jnp.asarray(rng.normal(size=(3, 200, 3)).astype(np.float32))
         got = np.asarray(fps_mod._fps_pallas_batched(pts, 16))
