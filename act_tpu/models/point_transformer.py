@@ -17,7 +17,7 @@ from act_tpu import ops
 from act_tpu.models.build import MODELS
 from act_tpu.utils.config import as_cfg
 from act_tpu.models.common import (GroupEncoder, PosEmbedMLP,
-                                   TransformerEncoder)
+                                   TransformerEncoder, dtype_from_cfg)
 
 
 class Mlp3Head(nn.Module):
@@ -49,19 +49,28 @@ class PointTransformer(nn.Module):
         self.num_group = cfg.num_group
         self.group_size = cfg.group_size
         self.transfer_type = cfg.get("transfer_type", "full")
+        # config `dtype: bf16` enables the same compute policy as the
+        # pretrain graphs: matmul/conv activations bf16 on the MXU, params
+        # and all norm layers f32, head/losses f32 (profiled: the all-f32
+        # finetune blocks ran at the 46 TFLOP/s f32 MXU ceiling and the
+        # encoder convs at the f32 HBM roofline)
+        self.dtype = dtype_from_cfg(cfg)
 
-        self.encoder = GroupEncoder(cfg.encoder_dims, name="encoder")
+        self.encoder = GroupEncoder(cfg.encoder_dims, dtype=self.dtype,
+                                    name="encoder")
         self.use_reduce = cfg.encoder_dims != cfg.embed_dim
         if self.use_reduce:
-            self.reduce_dim = nn.Dense(cfg.embed_dim, name="reduce_dim")
+            self.reduce_dim = nn.Dense(cfg.embed_dim, dtype=self.dtype,
+                                       name="reduce_dim")
         self.cls_token = self.param("cls_token", nn.initializers.zeros,
                                     (1, 1, cfg.embed_dim))
         self.cls_pos = self.param("cls_pos", nn.initializers.normal(1.0),
                                   (1, 1, cfg.embed_dim))
-        self.pos_embed = PosEmbedMLP(cfg.embed_dim, name="pos_embed")
+        self.pos_embed = PosEmbedMLP(cfg.embed_dim, dtype=self.dtype,
+                                     name="pos_embed")
         self.blocks = TransformerEncoder(
             embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
-            drop_path_rate=cfg.drop_path_rate,
+            drop_path_rate=cfg.drop_path_rate, dtype=self.dtype,
             scan=cfg.get("scan", None), name="blocks")
         self.norm = nn.LayerNorm(epsilon=1e-5, name="norm")
 
@@ -75,8 +84,10 @@ class PointTransformer(nn.Module):
         if self.transfer_type == "side":
             # Side-Tuning (reference setup_side, models/act.py:811-817)
             self.side_alpha = self.param("side_alpha", nn.initializers.zeros, (1,))
-            self.side = GroupEncoder(cfg.embed_dim, name="side")
+            self.side = GroupEncoder(cfg.embed_dim, dtype=self.dtype,
+                                     name="side")
             self.side_projection = nn.Dense(cfg.embed_dim, use_bias=False,
+                                            dtype=self.dtype,
                                             name="side_projection")
 
     def __call__(self, pts: jax.Array, train: bool = False) -> jax.Array:

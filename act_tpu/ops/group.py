@@ -140,5 +140,10 @@ def fps_subsample(xyz: jax.Array, n_fps: int, n_out: int, key: jax.Array) -> jax
     # is gathered ONCE (profiled: the two-stage 8192->2400->2048 coordinate
     # gathers cost 1.4 + 1.3 ms/step on the finetune path; the composed
     # index gather is a single Pallas one-hot gather)
-    final = jnp.take_along_axis(idx, sub, axis=1)  # (B, n_out) int32
+    # the index compose itself is a (B, n_fps) -> (B, n_out) int gather: XLA's
+    # per-row dynamic gather is DMA-descriptor bound even at this size
+    # (profiled 0.67 ms at 2.2 GB/s on the finetune path) — route it through
+    # the one-hot gather kernel too (exact for indices < 2^24 at HIGHEST)
+    final = gather_coords(idx.astype(jnp.float32)[:, :, None], sub)
+    final = final[:, :, 0].astype(jnp.int32)
     return gather_coords(xyz, final)

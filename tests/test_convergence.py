@@ -33,12 +33,15 @@ def opt_cfg():
 
 @pytest.mark.slow
 class TestConvergence:
-    def test_classifier_learns(self):
+    @pytest.mark.parametrize("dtype", ["f32", "bf16"])
+    def test_classifier_learns(self, dtype):
+        # bf16 leg pins that the shipped finetune compute policy
+        # (dtype: bf16 in every finetune config) trains stably
         X, Y = data()
         cfg = ConfigDict(dict(NAME="PointTransformer", embed_dim=48, depth=2,
                               drop_path_rate=0.0, cls_dim=8, num_heads=4,
                               group_size=8, num_group=16, encoder_dims=48,
-                              transfer_type="full"))
+                              transfer_type="full", dtype=dtype))
         model = MODELS.build(cfg)
         rngs = dict(params=KEY, mask=KEY, dropout=KEY, droppath=KEY)
         variables = model.init(rngs, jnp.asarray(X[:2]))

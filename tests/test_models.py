@@ -249,6 +249,23 @@ class TestPointTransformer:
         f = model.apply(variables, pts, method=model.extract_feature)
         assert f.shape == (2, 64)  # 2 * embed_dim
 
+    def test_bf16_policy(self, rng):
+        """config dtype=bf16: params stay f32, logits track the f32 model
+        (same compute policy as the pretrain graphs; finetune configs ship
+        with it since the all-f32 blocks profiled at the f32 MXU ceiling)."""
+        pts = make_points(rng)
+        cfg16 = self.cfg()
+        cfg16.dtype = "bf16"
+        m32, m16 = PointTransformer(self.cfg()), PointTransformer(cfg16)
+        variables = m32.init(RNGS, pts)
+        for leaf in jax.tree_util.tree_leaves(m16.init(RNGS, pts)["params"]):
+            assert leaf.dtype == jnp.float32
+        l32 = m32.apply(variables, pts, rngs=RNGS)
+        l16 = m16.apply(variables, pts, rngs=RNGS)
+        assert l16.dtype == jnp.float32  # head/losses stay f32
+        np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                                   atol=0.15)
+
 
 class TestBertTeacher:
     def test_bert_dvae_forward(self, rng):
