@@ -133,6 +133,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # i.e. the timm blocks+norm submodule only)
         frozen = [f"visual_embed']['blocks_", "visual_embed']['norm"]
     trainable = engine_builder.freeze_mask_from_paths(variables["params"], frozen)
+    if frozen and bool(config.model.get("frozen_bf16", True)):
+        # frozen ViT backbone matmul weights in bf16 — no per-use f32->bf16
+        # casts, half the HBM weight reads (mirrors runner_pretrain; norm and
+        # 1-D params stay f32; trainable prompts/proj/pos untouched)
+        variables = {**variables, "params": engine_builder.cast_frozen_bf16(
+            variables["params"], ["visual_embed']['blocks_"])}
     tx, schedule = engine_builder.build_optimizer(
         config, variables["params"], steps_per_epoch,
         trainable if frozen else None)

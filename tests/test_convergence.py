@@ -58,11 +58,15 @@ class TestConvergence:
             last = float(m["acc"])
         assert last > 60.0, (first, last)
 
-    def test_dvae_recon_decreases(self):
+    @pytest.mark.parametrize("dtype", ["f32", "bf16"])
+    def test_dvae_recon_decreases(self, dtype):
+        # bf16 leg pins the shipped autoencoder compute policy (dtype: bf16
+        # in cfgs/autoencoder/*): recon must still train; coordinates stay
+        # f32 by construction (FoldingDecoder mlp3/final3 have no dtype)
         X, _ = data()
         cfg = ConfigDict(dict(NAME="DiscreteVAE", group_size=8, num_group=16,
                               encoder_dims=48, num_tokens=64, tokens_dims=48,
-                              decoder_dims=48))
+                              decoder_dims=48, dtype=dtype))
         model = MODELS.build(cfg)
         rngs = dict(params=KEY, gumbel=KEY, dropout=KEY, droppath=KEY, mask=KEY)
         variables = model.init(rngs, jnp.asarray(X[:2]))

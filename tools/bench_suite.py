@@ -147,6 +147,8 @@ def setup_dvae():
     frozen = ["visual_embed']['blocks_", "visual_embed']['norm"]
     trainable = engine_builder.freeze_mask_from_paths(variables["params"],
                                                       frozen)
+    variables = {**variables, "params": engine_builder.cast_frozen_bf16(
+        variables["params"], ["visual_embed']['blocks_"])}
     tx, _ = engine_builder.build_optimizer(cfg, variables["params"], 100,
                                            trainable)
     state = replicate(mesh, TrainState.create(variables, tx))
