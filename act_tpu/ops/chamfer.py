@@ -30,88 +30,6 @@ from act_tpu.ops._backend import use_pallas, interpret_flag, round_up
 _DENSE_LIMIT = 1 << 21  # N*M below this: dense XLA path (fits/fuses easily)
 
 
-def _nn_kernel(n_q: int, n_t: int, tile_m: int, xq_ref, yt_ref, dist_ref, idx_ref):
-    """Nearest neighbor of each query point in the target cloud.
-
-    xq_ref: (1, TN, 128) VMEM — query tile, xyz in lanes 0..2 (rest zero-padded)
-    yt_ref: (1, 3, Mpad) VMEM — full target cloud, lane-major
-    dist_ref/idx_ref: (1, TN) f32/int32 — min squared distance and argmin index
-    """
-    tn = xq_ref.shape[1]
-    mpad = yt_ref.shape[2]
-    xq = xq_ref[0, :, 0:3]  # (TN, 3)
-    del n_q  # padded query rows produce garbage that the host slices off
-    x2 = jnp.sum(xq * xq, axis=1, keepdims=True)  # (TN, 1)
-
-    nt_tiles = mpad // tile_m
-
-    def body(m, carry):
-        best_d, best_i = carry  # (TN,1), (TN,1)
-        yt = yt_ref[0, :, pl.ds(m * tile_m, tile_m)]  # (3, TM)
-        y2 = jnp.sum(yt * yt, axis=0, keepdims=True)  # (1, TM)
-        cross = jnp.dot(xq, yt, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (TN, TM)
-        d = x2 + y2 - 2.0 * cross
-        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + m * tile_m
-        d = jnp.where(col < n_t, d, jnp.float32(3.4e38))
-        tile_min = jnp.min(d, axis=1, keepdims=True)
-        # first-argmin as min + min-index-of-min: two plain VPU reductions.
-        # A per-row lane argmin lowers to a serial select chain on Mosaic
-        # that dominated this kernel (3.3ms at (32,2048)^2 — same pathology
-        # measured 8x in ops/fps.py)
-        tile_arg = jnp.min(jnp.where(d == tile_min, col, jnp.int32(1 << 30)),
-                           axis=1, keepdims=True)
-        take = tile_min < best_d
-        return (jnp.where(take, tile_min, best_d), jnp.where(take, tile_arg, best_i))
-
-    init = (jnp.full((tn, 1), 3.4e38, jnp.float32), jnp.zeros((tn, 1), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, nt_tiles, body, init)
-    dist_ref[0, 0] = jnp.maximum(best_d.reshape(1, tn), 0.0)
-    idx_ref[0, 0] = best_i.reshape(1, tn)
-
-
-@partial(jax.jit, static_argnames=())
-def _nn_pallas(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """x: (B, N, 3), y: (B, M, 3) -> (dist (B, N), idx (B, N))."""
-    B, N, _ = x.shape
-    M = y.shape[1]
-    tile_n = min(512, round_up(N, 8))
-    npad = round_up(N, tile_n)
-    mpad = round_up(M, 128)
-    tile_m = min(1024, mpad)
-    mpad = round_up(mpad, tile_m)
-
-    # query layout (B, Npad, 128): xyz in lanes 0..2, zero elsewhere. Padded query
-    # rows compute garbage minima that are sliced off the output below.
-    xq = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, npad - N), (0, 125)))
-    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
-    yt = jnp.pad(yt, ((0, 0), (0, 0), (0, mpad - M)))
-
-    n_tiles = npad // tile_n
-    dist, idx = pl.pallas_call(
-        partial(_nn_kernel, N, M, tile_m),
-        grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tile_n, 128), lambda b, n: (b, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, mpad), lambda b, n: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, 1, tile_n), lambda b, n: (b, n, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, tile_n), lambda b, n: (b, n, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, n_tiles, 1, tile_n), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_tiles, 1, tile_n), jnp.int32),
-        ),
-        interpret=interpret_flag(),
-    )(xq, yt)
-    return dist.reshape(B, npad)[:, :N], idx.reshape(B, npad)[:, :N]
-
-
 def _nn_pair_kernel(n_x: int, n_y: int, tile_m: int, n_tiles: int,
                     xq_ref, yt_ref, d1_ref, i1_ref, d2_ref, i2_ref,
                     cmin_ref, carg_ref):
@@ -352,17 +270,6 @@ def _nn_dense(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     # clamp so downstream sqrt never NaNs
     return (jnp.maximum(jnp.min(d, axis=-1), 0.0),
             jnp.argmin(d, axis=-1).astype(jnp.int32))
-
-
-def _nearest(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    N, M = x.shape[-2], y.shape[-2]
-    if use_pallas() and N * M > _DENSE_LIMIT:
-        from act_tpu.ops._backend import current_kernel_mesh, shard_over_batch
-        mesh = current_kernel_mesh()
-        if mesh is not None:
-            return shard_over_batch(mesh, _nn_pallas, x, y)
-        return _nn_pallas(x, y)
-    return _nn_dense(x, y)
 
 
 def _nearest_pair(x: jax.Array, y: jax.Array):

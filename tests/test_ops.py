@@ -179,14 +179,6 @@ class TestPallasInterpret:
         want = np.asarray(ops.furthest_point_sample_ref(pts, 16))
         np.testing.assert_array_equal(got, want)
 
-    def test_nn_pallas_matches_dense(self, rng):
-        x = jnp.asarray(rng.normal(size=(2, 150, 3)).astype(np.float32))
-        y = jnp.asarray(rng.normal(size=(2, 300, 3)).astype(np.float32))
-        d_p, i_p = chamfer_mod._nn_pallas(x, y)
-        d_d, i_d = chamfer_mod._nn_dense(x, y)
-        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_d), atol=1e-3)
-        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_d))
-
     def test_nn_pair_matches_dense(self, rng):
         """Fused both-direction NN kernel: row/col minima + argmins identical
         to the two directed dense reductions, incl. ragged (padded) sizes and
