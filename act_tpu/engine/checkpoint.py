@@ -164,7 +164,17 @@ def adapt_block_layout(loaded, target):
 
     out, handled = {}, set()
     if ("blocks" in target and "blocks" not in loaded and "blocks_0" in loaded
-            and isinstance(target["blocks"], dict)):
+            and isinstance(target["blocks"], dict)
+            and "blocks_0" in target["blocks"]):
+        # flat-legacy per-block subtrees into an UNSCANNED nested encoder
+        # scope ({'blocks': {'blocks_0': ...}} — e.g. pre-refactor
+        # SegBackbone checkpoints): re-nest, don't stack
+        n = run_len(loaded)
+        out["blocks"] = {f"blocks_{i}": loaded[f"blocks_{i}"]
+                         for i in range(n)}
+        handled.update(f"blocks_{i}" for i in range(n))
+    elif ("blocks" in target and "blocks" not in loaded
+            and "blocks_0" in loaded and isinstance(target["blocks"], dict)):
         n = run_len(loaded)
         subs = [loaded[f"blocks_{i}"] for i in range(n)]
         try:

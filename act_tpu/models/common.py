@@ -297,10 +297,13 @@ class TransformerEncoder(nn.Module):
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         hidden = []
         for i in range(self.depth):
+            # full arg list: nn.remat's static_argnums=(2, 3) indexes
+            # q_keep_from/drop_path_rate, so the rematted block must be
+            # called with them even at their defaults
             x = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
                           drop=self.drop, attn_drop=self.attn_drop,
                           drop_path=dpr[i], dtype=self.dtype,
-                          name=f"blocks_{i}")(x + pos, deterministic)
+                          name=f"blocks_{i}")(x + pos, deterministic, 0, None)
             if i in return_hidden:
                 hidden.append(x)
         return x, hidden

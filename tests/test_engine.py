@@ -600,6 +600,24 @@ class TestBlockLayoutAdapter:
         assert k.shape == (2, 4, 12)
         np.testing.assert_allclose(k[1], 3.0)
 
+    def test_renest_direction_flat_legacy_to_unscanned(self):
+        """Flat-legacy blocks_i into an UNSCANNED nested encoder scope
+        ({'blocks': {'blocks_0': ...}}, the production default) must re-nest
+        the per-block subtrees, not stack them (regression: the stack branch
+        used to fire and silently drop every block weight on load)."""
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        loaded = {"blocks_0": self._blk(0.0), "blocks_1": self._blk(7.0),
+                  "norm": np.ones(4)}
+        target = {"blocks": {"blocks_0": self._blk(0.0),
+                             "blocks_1": self._blk(0.0)},
+                  "norm": np.ones(4)}
+        out = adapt_block_layout(loaded, target)
+        k = out["blocks"]["blocks_1"]["attn"]["qkv"]["kernel"]
+        assert k.shape == (4, 12)
+        np.testing.assert_allclose(k, 7.0)
+        assert (jax.tree_util.tree_structure(out)
+                == jax.tree_util.tree_structure(target))
+
     def test_unstack_direction(self):
         from act_tpu.engine.checkpoint import adapt_block_layout
         stacked = {"attn": {"qkv": {"kernel": np.stack(

@@ -583,6 +583,30 @@ class TestScannedStacks:
         o2 = dec_u.apply({"params": pu}, x, pos, 4)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=2e-5)
 
+    def test_remat_unrolled_and_scanned(self, rng):
+        """remat=True must work in BOTH stack layouts (regression: the
+        unrolled path called the rematted block without the q_keep_from /
+        drop_path_rate args that static_argnums=(2, 3) indexes)."""
+        from act_tpu.models.common import TransformerEncoder
+        B, V, C, D = 2, 6, 32, 2
+        x = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(B, V, C)).astype(np.float32))
+        k = jax.random.PRNGKey(0)
+        ref = TransformerEncoder(embed_dim=C, depth=D, num_heads=4, scan=False)
+        v = ref.init(dict(params=k, dropout=k, droppath=k), x, pos)
+        expect, _ = ref.apply({"params": v["params"]}, x, pos)
+        for use_scan in (False, True):
+            enc = TransformerEncoder(embed_dim=C, depth=D, num_heads=4,
+                                     scan=use_scan, remat=True)
+            params = v["params"]
+            if use_scan:
+                params = {"blocks": jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[v["params"][f"blocks_{i}"] for i in range(D)])}
+            got, _ = jax.jit(lambda p: enc.apply({"params": p}, x, pos))(params)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                       atol=2e-5)
+
     def test_env_default_off(self, monkeypatch):
         from act_tpu.models.common import scan_default
         monkeypatch.delenv("ACT_TPU_SCAN", raising=False)

@@ -27,6 +27,29 @@ RULES = {
 }
 
 
+def convert(src: str, dst: str, model: str, state_key: str = "base_model",
+            teacher_arch: str = "vit", head: str = "mlp-3") -> None:
+    """Convert one ``.pth`` to an orbax checkpoint at ``dst``. The single
+    conversion pipeline — the CLI below and tools/parity_protocol.py both
+    call this, so BERT qkv fusion / teacher_arch handling cannot drift."""
+    from act_tpu.engine import torch_convert as tc
+    import orbax.checkpoint as ocp
+
+    args = argparse.Namespace(teacher_arch=teacher_arch, head=head)
+    sd = tc.load_torch_state_dict(src, key=state_key)
+    print(f"loaded {len(sd)} torch tensors from {src}")
+    if teacher_arch == "bert" or model.endswith("withBERT"):
+        sd = tc.fuse_bert_qkv(sd)
+    params, batch_stats = tc.convert_state_dict(sd, RULES[model](tc, args))
+
+    payload = {"params": params, "batch_stats": batch_stats,
+               "buffers": {}, "opt_state": None, "step": 0, "epoch": 0,
+               "metrics": {}, "best_metrics": {}}
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(dst), payload, force=True)
+    print(f"wrote {dst}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--src", required=True, help=".pth checkpoint")
@@ -40,22 +63,8 @@ def main():
     parser.add_argument("--head", default="mlp-3", choices=["mlp-3", "linear"],
                         help="PointTransformer head variant")
     args = parser.parse_args()
-
-    from act_tpu.engine import torch_convert as tc
-    import orbax.checkpoint as ocp
-
-    sd = tc.load_torch_state_dict(args.src, key=args.state_key)
-    print(f"loaded {len(sd)} torch tensors from {args.src}")
-    if args.teacher_arch == "bert" or args.model.endswith("withBERT"):
-        sd = tc.fuse_bert_qkv(sd)
-    params, batch_stats = tc.convert_state_dict(sd, RULES[args.model](tc, args))
-
-    payload = {"params": params, "batch_stats": batch_stats,
-               "buffers": {}, "opt_state": None, "step": 0, "epoch": 0,
-               "metrics": {}, "best_metrics": {}}
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(os.path.abspath(args.dst), payload, force=True)
-    print(f"wrote {args.dst}")
+    convert(args.src, args.dst, args.model, state_key=args.state_key,
+            teacher_arch=args.teacher_arch, head=args.head)
 
 
 if __name__ == "__main__":

@@ -38,25 +38,14 @@ TASKS = {
 
 
 def convert_pth(src: str, dst: str, model: str, head: str = "mlp-3",
-                state_key: str = "base_model") -> None:
-    """.pth -> orbax via the production rules (tools/convert_checkpoint.py)."""
-    from act_tpu.engine import torch_convert as tc
-    import orbax.checkpoint as ocp
-
-    sd = tc.load_torch_state_dict(src, key=state_key)
-    print(f"[PARITY] loaded {len(sd)} torch tensors from {src}")
-    if model == "PointTransformer":
-        rules = tc.point_transformer_rules(head=head)
-    elif model == "ACT_PointDistillation":
-        rules = tc.act_distillation_rules(teacher_arch="vit")
-    else:
-        raise SystemExit(f"unsupported model {model}")
-    params, batch_stats = tc.convert_state_dict(sd, rules)
-    payload = {"params": params, "batch_stats": batch_stats,
-               "buffers": {}, "opt_state": None, "step": 0, "epoch": 0,
-               "metrics": {}, "best_metrics": {}}
-    ocp.PyTreeCheckpointer().save(os.path.abspath(dst), payload, force=True)
-    print(f"[PARITY] wrote {dst}")
+                state_key: str = "base_model",
+                teacher_arch: str = "vit") -> None:
+    """.pth -> orbax through the ONE production pipeline
+    (tools/convert_checkpoint.convert — incl. BERT qkv fusion and
+    teacher_arch selection, so the two tools cannot drift)."""
+    from tools.convert_checkpoint import convert
+    convert(src, dst, model, state_key=state_key,
+            teacher_arch=teacher_arch, head=head)
 
 
 def _rewrite_data_root(config, data_root: str) -> None:
@@ -75,7 +64,8 @@ def _rewrite_data_root(config, data_root: str) -> None:
 
 def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
                  from_pretrain: bool = False, data_root: str = None,
-                 exp_name: str = None, smoke: bool = False):
+                 exp_name: str = None, smoke: bool = False,
+                 teacher_arch: str = "vit"):
     """Convert + evaluate one MODEL_ZOO row. Returns the result dict."""
     from act_tpu.utils.parser import get_args
     from act_tpu.utils.config import get_config
@@ -88,7 +78,7 @@ def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
     orbax_dir = os.path.join("./work_dirs", "parity", exp_name,
                              "converted.orbax")
     os.makedirs(os.path.dirname(orbax_dir), exist_ok=True)
-    convert_pth(ckpt_pth, orbax_dir, model)
+    convert_pth(ckpt_pth, orbax_dir, model, teacher_arch=teacher_arch)
 
     argv = ["--config", cfg_path, "--exp_name", exp_name,
             "--ckpts", orbax_dir]
@@ -153,12 +143,15 @@ def main():
     parser.add_argument("--exp_name", default=None)
     parser.add_argument("--smoke", action="store_true",
                         help="tiny 2-step pipeline check")
+    parser.add_argument("--teacher_arch", default="vit",
+                        choices=["vit", "clip", "bert"],
+                        help="teacher layout inside a --from_pretrain ckpt")
     args = parser.parse_args()
 
     result = run_protocol(args.task, args.ckpt, vote=args.vote,
                           from_pretrain=args.from_pretrain,
                           data_root=args.data_root, exp_name=args.exp_name,
-                          smoke=args.smoke)
+                          smoke=args.smoke, teacher_arch=args.teacher_arch)
     print_table([result])
     print(json.dumps(result))
 
