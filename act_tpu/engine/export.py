@@ -1,0 +1,136 @@
+"""AOT model export for serving (beyond the reference).
+
+The PyTorch reference has no deployment story: serving a finetuned
+PointTransformer means dragging the whole training repo (model code, CUDA
+extensions, .pth checkpoints) into the serving image. Here the eval forward —
+optional FPS resample + classifier — is jitted, lowered, and serialized with
+``jax.export`` into a single self-contained StableHLO artifact: weights are
+baked in as constants, the batch dimension can stay symbolic, and the artifact
+reloads anywhere jax runs (CPU or TPU) with no model code, config, or
+checkpoint on the serving side.
+
+Portability note: exported on a CPU host (or with ``ACT_TPU_PALLAS=off``) the
+graph traces the pure-XLA reference ops — portable across platforms listed in
+``platforms``. Exported on the TPU backend the Pallas kernels appear as
+``tpu_custom_call``s: faster, but the artifact is TPU-only and its stability
+across runtime versions is not guaranteed (the export is tagged accordingly).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+from act_tpu import ops
+from act_tpu.models import MODELS
+from act_tpu.utils.logger import print_log
+
+MAGIC = "act-tpu-export-v1"
+
+
+def load_variables(config, ckpt_path: Optional[str], seed: int = 0,
+                   logger=None):
+    """Init the model and merge a checkpoint exactly like the finetune
+    runner's load path (runner_finetune.build_state): strip the pretrain
+    student prefix, fold legacy encoder biases, merge params + batch_stats."""
+    from act_tpu.engine import checkpoint as ckpt_lib
+
+    model = MODELS.build(config.model)
+    npoints = int(config.npoints)
+    key = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((2, npoints, 3), jnp.float32)
+    rngs = dict(params=key, mask=key, dropout=key, droppath=key)
+    variables = jax.jit(lambda: model.init(rngs, sample))()
+    variables = jax.device_get(variables)
+
+    if ckpt_path:
+        loaded = ckpt_lib.load_checkpoint(ckpt_path)
+        src = ckpt_lib.strip_student_prefix(loaded.get("params", loaded))
+        loaded_bs = ckpt_lib.strip_student_prefix(
+            loaded.get("batch_stats", {}) or {})
+        src, loaded_bs = ckpt_lib.fold_legacy_encoder_bias(src, loaded_bs)
+        params = ckpt_lib.merge_pretrained(variables["params"], src,
+                                           logger=logger)
+        variables = {**variables, "params": params}
+        if loaded_bs:
+            variables["batch_stats"] = ckpt_lib.merge_pretrained(
+                variables.get("batch_stats", {}), loaded_bs, logger=logger)
+        print_log(f"[EXPORT] loaded ckpt {ckpt_path}", logger=logger)
+    return model, variables
+
+
+def build_infer_fn(model, variables, npoints: int, with_fps: bool = True):
+    """The serving forward: (B, N, 3) points -> (B, cls_dim) logits.
+
+    ``with_fps`` prepends the reference eval protocol's FPS resample to
+    ``npoints`` (runner_finetune.infer_step); with it off the input must
+    already be (B, npoints, 3).
+    """
+    def infer(pts):
+        if with_fps:
+            pts = ops.gather_points(pts,
+                                    ops.furthest_point_sample(pts, npoints))
+        return model.apply(variables, pts)
+    return infer
+
+
+def export_classifier(config, ckpt_path: Optional[str] = None,
+                      batch: Optional[int] = None, n_in: Optional[int] = None,
+                      with_fps: bool = True,
+                      platforms: Optional[Sequence[str]] = None,
+                      seed: int = 0, logger=None) -> "jexport.Exported":
+    """Lower + export the eval forward. ``batch=None`` keeps the batch
+    dimension symbolic (any B at call time); ``n_in`` is the input point
+    count (defaults to config.npoints)."""
+    model, variables = load_variables(config, ckpt_path, seed=seed,
+                                      logger=logger)
+    npoints = int(config.npoints)
+    n_in = int(n_in or npoints)
+    if not with_fps and n_in != npoints:
+        raise ValueError(f"--no-fps requires n_in == npoints ({npoints})")
+    infer = build_infer_fn(model, variables, npoints, with_fps=with_fps)
+
+    if batch is None:
+        shape = jexport.symbolic_shape(f"b, {n_in}, 3")
+    else:
+        shape = (int(batch), n_in, 3)
+    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+
+    disabled = ()
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "ACT_TPU_PALLAS", "").lower() != "off":
+        # Pallas kernels serialize as tpu_custom_calls; opt out of the
+        # stability guarantee explicitly (see module docstring).
+        disabled = (jexport.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call"),)
+    return jexport.export(jax.jit(infer), platforms=platforms,
+                          disabled_checks=list(disabled))(spec)
+
+
+def save_exported(exp: "jexport.Exported", dst: str, meta: dict) -> None:
+    """One artifact file + a small json sidecar for humans/servers."""
+    data = exp.serialize()
+    with open(dst, "wb") as f:
+        f.write(data)
+    side = {"magic": MAGIC, "bytes": len(data),
+            "in_shape": [str(d) for d in exp.in_avals[0].shape],
+            "out_shape": [str(d) for d in exp.out_avals[0].shape],
+            "platforms": list(exp.platforms), **meta}
+    with open(dst + ".json", "w") as f:
+        json.dump(side, f, indent=1)
+
+
+def load_exported(src: str):
+    """Deserialize an artifact; returns a callable (B, N, 3) -> logits."""
+    with open(src, "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+
+    def call(pts):
+        return exp.call(jnp.asarray(pts, jnp.float32))
+    call.exported = exp
+    return call

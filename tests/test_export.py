@@ -1,0 +1,108 @@
+"""AOT serving export (act_tpu/engine/export.py) — beyond-reference feature.
+
+The artifact must reproduce the in-process eval forward exactly, support a
+symbolic batch dimension, and roundtrip through serialize/deserialize with no
+model code in scope (the deserialized callable is pure StableHLO).
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from act_tpu.utils.config import ConfigDict
+
+
+def tiny_config(cls_dim=6, npoints=128):
+    return ConfigDict(dict(
+        model=ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=32, depth=2,
+            drop_path_rate=0.0, cls_dim=cls_dim, num_heads=4, group_size=8,
+            num_group=16, encoder_dims=32, transfer_type="full")),
+        npoints=npoints))
+
+
+class TestExportClassifier:
+    def test_fixed_batch_matches_direct_apply(self, rng):
+        from act_tpu.engine import export as ex
+        config = tiny_config()
+        exp = ex.export_classifier(config, batch=4)
+        model, variables = ex.load_variables(config, None, seed=0)
+        infer = ex.build_infer_fn(model, variables, int(config.npoints))
+        pts = jnp.asarray(rng.normal(size=(4, 128, 3)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(exp.call(pts)),
+                                   np.asarray(infer(pts)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_symbolic_batch_two_sizes(self, rng):
+        from act_tpu.engine import export as ex
+        config = tiny_config()
+        exp = ex.export_classifier(config, batch=None)
+        model, variables = ex.load_variables(config, None, seed=0)
+        infer = ex.build_infer_fn(model, variables, int(config.npoints))
+        for B in (2, 5):
+            pts = jnp.asarray(rng.normal(size=(B, 128, 3)).astype(np.float32))
+            got = np.asarray(exp.call(pts))
+            assert got.shape == (B, 6)
+            np.testing.assert_allclose(got, np.asarray(infer(pts)),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_serialize_roundtrip_and_sidecar(self, rng, tmp_path):
+        from act_tpu.engine import export as ex
+        config = tiny_config()
+        exp = ex.export_classifier(config, batch=3)
+        dst = str(tmp_path / "model.actx")
+        ex.save_exported(exp, dst, meta={"npoints": 128, "with_fps": True})
+        fn = ex.load_exported(dst)
+        pts = rng.normal(size=(3, 128, 3)).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(fn(pts)),
+                                      np.asarray(exp.call(jnp.asarray(pts))))
+        side = json.loads((tmp_path / "model.actx.json").read_text())
+        assert side["magic"] == "act-tpu-export-v1"
+        assert side["platforms"] == ["cpu"]
+
+    def test_export_with_checkpoint_weights(self, rng, tmp_path):
+        """Exported logits must reflect the loaded checkpoint, not init."""
+        from act_tpu.engine import export as ex
+        import orbax.checkpoint as ocp
+        config = tiny_config()
+        model, variables = ex.load_variables(config, None, seed=0)
+        bumped = jax.tree_util.tree_map(lambda x: x + 0.05,
+                                        variables["params"])
+        ckpt = str(tmp_path / "ckpt-best")
+        ocp.PyTreeCheckpointer().save(ckpt, {
+            "params": jax.device_get(bumped),
+            "batch_stats": jax.device_get(variables.get("batch_stats", {}))},
+            force=True)
+        exp = ex.export_classifier(config, ckpt_path=ckpt, batch=2)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        infer0 = ex.build_infer_fn(model, variables, int(config.npoints))
+        infer1 = ex.build_infer_fn(
+            model, {**variables, "params": bumped}, int(config.npoints))
+        got = np.asarray(exp.call(pts))
+        assert not np.allclose(got, np.asarray(infer0(pts)))
+        np.testing.assert_allclose(got, np.asarray(jax.jit(infer1)(pts)),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_cli_end_to_end(self, tmp_path):
+        import subprocess
+        import sys as _sys
+        dst = str(tmp_path / "m.actx")
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        r = subprocess.run(
+            [_sys.executable, "tools/export_model.py", "export", "--config",
+             "cfgs/finetune_classification/full/finetune_scan_hardest.yaml",
+             "--dst", dst, "--smoke", "--batch", "sym"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=420,
+            env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = subprocess.run(
+            [_sys.executable, "tools/export_model.py", "run", "--src", dst,
+             "--batch", "3"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=420,
+            env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "logits (3," in r.stdout

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Export a finetuned classifier to a self-contained serving artifact.
+
+Beyond the reference (which has no deployment path): the eval forward is
+AOT-lowered and serialized via jax.export — weights baked in, optionally a
+symbolic batch dimension — and reloads anywhere jax runs without model code
+or checkpoints on the serving side.
+
+  # export (CPU host -> portable pure-XLA artifact; --platforms to cross-lower)
+  python tools/export_model.py export --config cfgs/finetune_classification/full/finetune_scan_hardest.yaml \
+      --ckpts work_dirs/.../ckpt-best --dst model.actx
+
+  # serve-side smoke: load the artifact and run a batch
+  python tools/export_model.py run --src model.actx --batch 4
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def cmd_export(args):
+    from act_tpu.utils.config import cfg_from_yaml_file
+    from act_tpu.engine import export as ex
+
+    config = cfg_from_yaml_file(args.config)
+    if args.smoke:
+        config.model.depth = 2
+        config.model.embed_dim = 32
+        config.model.encoder_dims = 32
+        config.model.num_heads = 4
+        config.npoints = min(int(config.npoints), 256)
+    batch = None if args.batch in (None, "sym") else int(args.batch)
+    platforms = args.platforms.split(",") if args.platforms else None
+    exp = ex.export_classifier(config, ckpt_path=args.ckpts, batch=batch,
+                               n_in=args.n_in, with_fps=not args.no_fps,
+                               platforms=platforms, seed=args.seed)
+    ex.save_exported(exp, args.dst, meta={
+        "config": args.config, "ckpts": args.ckpts,
+        "npoints": int(config.npoints), "with_fps": not args.no_fps})
+    print(f"wrote {args.dst} (+.json); input {exp.in_avals[0].shape} -> "
+          f"output {exp.out_avals[0].shape}; platforms {list(exp.platforms)}")
+
+
+def cmd_run(args):
+    import numpy as np
+    from act_tpu.engine.export import load_exported
+
+    fn = load_exported(args.src)
+    with open(args.src + ".json") as f:
+        meta = json.load(f)
+    n = args.n_in or int(meta.get("npoints", 1024))
+    pts = np.random.default_rng(0).normal(size=(args.batch, n, 3))
+    pts /= np.abs(pts).max()
+    t0 = time.time()
+    logits = np.asarray(fn(pts))
+    print(f"logits {logits.shape}  argmax {logits.argmax(-1).tolist()}  "
+          f"({time.time() - t0:.2f}s incl. compile)")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("export")
+    e.add_argument("--config", required=True)
+    e.add_argument("--ckpts", default=None, help="orbax checkpoint dir")
+    e.add_argument("--dst", required=True)
+    e.add_argument("--batch", default="sym",
+                   help="'sym' (default: symbolic batch dim) or a fixed int")
+    e.add_argument("--n_in", type=int, default=None,
+                   help="input point count (default: config.npoints)")
+    e.add_argument("--no-fps", action="store_true",
+                   help="skip the eval-protocol FPS resample")
+    e.add_argument("--platforms", default=None,
+                   help="comma list to cross-lower, e.g. 'cpu,tpu'")
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--smoke", action="store_true",
+                   help="tiny model for pipeline checks")
+    e.set_defaults(fn=cmd_export)
+
+    r = sub.add_parser("run")
+    r.add_argument("--src", required=True)
+    r.add_argument("--batch", type=int, default=2)
+    r.add_argument("--n_in", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
