@@ -441,6 +441,35 @@ def act_distillation_rules(teacher_arch: str = "vit"
     return R
 
 
+def act_pointbert_rules(teacher_arch: str = "vit"
+                        ) -> List[Tuple[str, str, str]]:
+    """ACT_PointBERT: MoCo q/k MaskTransformers + frozen prompted dVAE
+    (reference models/act.py:913-1095; MaskTransformer :532-723). The q/k
+    trunks are student_rules plus the BERT mask_token; the MoCo queue buffers
+    are extracted separately (``pointbert_buffers`` — they live in the flax
+    'buffers' collection, not params)."""
+    R = []
+    for name in ("transformer_q", "transformer_k"):
+        R += student_rules(name)
+        R.append((rf"^{name}\.mask_token$", f"{name}/mask_token", "none"))
+    R += dvae_rules("dvae", teacher_arch=teacher_arch)
+    return R
+
+
+def pointbert_buffers(sd: Dict[str, np.ndarray]) -> dict:
+    """MoCo queue state from a torch ACT_PointBERT checkpoint: the reference
+    registers queue (cls_dim, K) and queue_ptr (1,) long as buffers
+    (models/act.py:958-961); flax keeps them in the 'buffers' collection
+    (queue_ptr as a scalar int32)."""
+    out = {}
+    if "queue" in sd:
+        out["queue"] = np.asarray(sd["queue"], np.float32)
+    if "queue_ptr" in sd:
+        out["queue_ptr"] = np.asarray(sd["queue_ptr"]).reshape(()).astype(
+            np.int32)
+    return out
+
+
 def convert_state_dict(sd: Dict[str, np.ndarray],
                        rules: List[Tuple[str, str, str]],
                        logger=None) -> Tuple[dict, dict]:

@@ -264,6 +264,9 @@ class MaskTransformer(nn.Module):
         tokens = self.encoder(neighborhood, train=train)
         tokens = self.reduce_dim(tokens)
         tokens, overall_mask = self.random_replace(tokens, mask, noaug)
+        # sown for the full-graph torch-equivalence tests (no-op in training)
+        self.sow("intermediates", "mask", mask)
+        self.sow("intermediates", "overall_mask", overall_mask)
 
         w = mask[:, :, None].astype(tokens.dtype)
         mask_tok = jnp.broadcast_to(self.mask_token, tokens.shape)
@@ -520,6 +523,9 @@ class ACT_PointBERT(nn.Module):
                  + jnp.flip(neighborhood, 0) * (1 - mm[:, :, None, None]))
         mix_c = center * mm[:, :, None] + jnp.flip(center, 0) * (1 - mm[:, :, None])
         mix_l = (dvae_label * mm + jnp.flip(dvae_label, 0) * (1 - mm)).astype(jnp.int32)
+        # sown for the full-graph torch-equivalence tests (no-op in training)
+        self.sow("intermediates", "mixup_ratio", ratio)
+        self.sow("intermediates", "mixup_mask", mm)
         return ratio, mix_n, mix_c, mix_l
 
     def _masked_ce(self, logits, labels, mask):
@@ -535,6 +541,8 @@ class ACT_PointBERT(nn.Module):
             return self.forward_eval(pts)
         neighborhood, center = ops.group_points(pts, self.num_group,
                                                 self.group_size)
+        self.sow("intermediates", "neighborhood", neighborhood)
+        self.sow("intermediates", "center", center)
         dvae_label = jax.lax.stop_gradient(
             self.dvae.forward_tokenizer(neighborhood, center,
                                         train=train))  # (B, G)

@@ -582,3 +582,188 @@ class TestParityRehearsal:
             expect = to_np(tmodel(torch.from_numpy(np.asarray(nbr)),
                                   torch.from_numpy(np.asarray(center))))
         np.testing.assert_allclose(got, expect, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# ACT_PointBERT full graph (MoCo q/k + mixup/cutmix + dVAE token labels)
+# ---------------------------------------------------------------------------
+
+class TorchBERTStudent(tnn.Module):
+    """Point-BERT MaskTransformer minus the RNG: takes the mask as input
+    (reference models/act.py:532-723, replace_pob=0 path)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchMiniPointNet(ENC_DIMS)
+        self.reduce_dim = tnn.Linear(ENC_DIMS, EMBED)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.mask_token = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.cls_pos = tnn.Parameter(torch.randn(1, 1, EMBED) * 0.02)
+        self.pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, EMBED))
+        self.blocks = TorchEncoderStack(EMBED, DEPTH, HEADS)
+        self.norm = tnn.LayerNorm(EMBED)
+        self.lm_head = tnn.Linear(EMBED, NUM_TOKENS)
+        self.cls_head = tnn.Sequential(
+            tnn.Linear(EMBED, CLS_DIM), tnn.GELU(), tnn.Linear(CLS_DIM, CLS_DIM))
+
+    def forward(self, nbr, center, mask, only_cls_tokens=False):
+        tokens = self.reduce_dim(self.encoder(nbr))
+        Bb, Gg, C = tokens.shape
+        # mask the input tokens (reference :706-709)
+        w = mask.unsqueeze(-1).type_as(tokens)
+        tokens = tokens * (1 - w) + self.mask_token.expand(Bb, Gg, -1) * w
+        pos = torch.cat([self.cls_pos.expand(Bb, -1, -1),
+                         self.pos_embed(center)], dim=1)
+        x = torch.cat([self.cls_token.expand(Bb, -1, -1), tokens], dim=1)
+        x = self.norm(self.blocks(x, pos))
+        if only_cls_tokens:
+            return self.cls_head(x[:, 0])
+        return self.cls_head(x[:, 0]), self.lm_head(x[:, 1:])
+
+
+class TorchPointBERT(tnn.Module):
+    """ACT_PointBERT composed graph minus the RNG: masks/mixup draws enter as
+    inputs (reference models/act.py:913-1095)."""
+
+    def __init__(self, K=8, T=0.07):
+        super().__init__()
+        self.transformer_q = TorchBERTStudent()
+        self.transformer_k = TorchBERTStudent()
+        self.dvae = TorchDVAE()
+        self.T, self.K = T, K
+        self.register_buffer("queue", torch.zeros(CLS_DIM, K))
+        self.register_buffer("queue_ptr", torch.zeros(1, dtype=torch.long))
+
+    def forward(self, nbr, center, mask_q, mask_mix, mask_k, ratio, mm):
+        with torch.no_grad():
+            dvae_label = self.dvae.encode_logits(nbr, center).argmax(-1).long()
+
+        q_cls, logits = self.transformer_q(nbr, center, mask_q)
+        q_cls = F.normalize(q_cls, dim=1)
+
+        # mixup with pinned draws (reference _mixup_pc, :1006-1024)
+        mmf = mm.type_as(nbr)
+        mix_n = nbr * mmf[:, :, None, None] + nbr.flip(0) * (1 - mmf[:, :, None, None])
+        mix_c = center * mmf[:, :, None] + center.flip(0) * (1 - mmf[:, :, None])
+        mix_l = (dvae_label * mmf + dvae_label.flip(0) * (1 - mmf)).long()
+        mix_cls, mix_logits = self.transformer_q(mix_n, mix_c, mask_mix)
+        mix_cls = F.normalize(mix_cls, dim=1)
+
+        with torch.no_grad():
+            k_cls = F.normalize(
+                self.transformer_k(nbr, center, mask_k, only_cls_tokens=True),
+                dim=1)
+
+        Bb = q_cls.shape[0]
+        l_pos = torch.einsum("nc,nc->n", q_cls, k_cls).unsqueeze(-1)
+        l_neg = torch.einsum("nc,ck->nk", q_cls, self.queue.clone().detach())
+        ce = torch.cat([l_pos, l_neg], dim=1) / self.T
+        moco_loss = F.cross_entropy(ce, torch.zeros(Bb, dtype=torch.long))
+
+        dvae_loss = (F.cross_entropy(logits[mask_q], dvae_label[mask_q])
+                     + F.cross_entropy(mix_logits[mask_mix], mix_l[mask_mix]))
+
+        l_pos = torch.einsum("nc,mc->nm", mix_cls, k_cls)
+        l_neg = torch.einsum("nc,ck->nk", mix_cls, self.queue.clone().detach())
+        ce = torch.cat([l_pos, l_neg], dim=1) / self.T
+        labels = torch.arange(Bb, dtype=torch.long)
+        per = F.cross_entropy(ce, labels, reduction="none")
+        per_flip = F.cross_entropy(ce, labels.flip(0), reduction="none")
+        cutmix_loss = (ratio * per + (1 - ratio) * per_flip).mean()
+
+        # dequeue/enqueue (reference :976-989)
+        ptr = int(self.queue_ptr)
+        self.queue[:, ptr:ptr + Bb] = k_cls.T
+        self.queue_ptr[0] = (ptr + Bb) % self.K
+        return moco_loss, dvae_loss, cutmix_loss
+
+
+def tiny_pointbert_cfg():
+    cfg = tiny_distill_cfg()
+    cfg.NAME = "ACT_PointBERT"
+    cfg.m, cfg.T, cfg.K = 0.999, 0.07, 8
+    cfg.transformer_config.mask_ratio = [0.25, 0.45]
+    cfg.transformer_config.moco_loss = True
+    cfg.transformer_config.dvae_loss = True
+    cfg.transformer_config.cutmix_loss = True
+    cfg.transformer_config.return_all_tokens = False
+    return cfg
+
+
+class TestPointBERTFullGraph:
+    def test_losses_and_queue_match_torch(self, rng):
+        from act_tpu.models import ACT_PointBERT
+
+        torch.manual_seed(7)
+        tmodel = TorchPointBERT().eval()
+        sd = {k: to_np(v) for k, v in tmodel.state_dict().items()}
+        buffers_sd = tc.pointbert_buffers(sd)
+        sd = {k: v for k, v in sd.items() if k not in ("queue", "queue_ptr")}
+        params, batch_stats = tc.convert_state_dict(
+            sd, tc.act_pointbert_rules())
+
+        cfg = tiny_pointbert_cfg()
+        fmodel = ACT_PointBERT(cfg)
+        pts = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+        variables = fmodel.init(RNGS, pts)
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        params = adapt_block_layout(params, jax.device_get(variables["params"]))
+        # the PointBERT graph only drives the dVAE tokenizer head
+        # (encoder + dgcnn_1, reference models/act.py:1032-1034); flax creates
+        # no params for the rest of the dVAE the torch ckpt carries
+        assert_tree_covers(variables["params"], params, "ACT_PointBERT",
+                           allow_extra=("dvae.codebook", "dvae.dgcnn_2",
+                                        "dvae.decoder.", "dvae.proj_",
+                                        "dvae.visual_", "dvae.deep_prompt"))
+        # production buffer extraction sees the reference-registered buffers
+        assert buffers_sd["queue"].shape == (CLS_DIM, 8)
+        assert buffers_sd["queue_ptr"].shape == ()
+        # seed the SAME queue on both sides (flax init draws its own)
+        queue0 = np.asarray(variables["buffers"]["queue"])
+        with torch.no_grad():
+            tmodel.queue.copy_(torch.from_numpy(queue0))
+
+        (moco, dvae_loss, cutmix), aux = fmodel.apply(
+            {"params": params, "batch_stats": batch_stats,
+             "buffers": variables["buffers"]},
+            pts, train=False, rngs=RNGS,
+            mutable=["intermediates", "buffers"])
+        ii = aux["intermediates"]
+        nbr = np.asarray(ii["neighborhood"][0])
+        center = np.asarray(ii["center"][0])
+        mask_q, mask_mix = [np.asarray(m) for m in
+                            ii["transformer_q"]["mask"]]
+        mask_k = np.asarray(ii["transformer_k"]["mask"][0])
+        ratio = np.asarray(ii["mixup_ratio"][0])
+        mm = np.asarray(ii["mixup_mask"][0])
+        # non-degenerate draws (empty masks would NaN the torch CE)
+        assert mask_q.sum() > 0 and mask_mix.sum() > 0
+
+        with torch.no_grad():
+            e_moco, e_dvae, e_cut = tmodel(
+                torch.from_numpy(nbr), torch.from_numpy(center),
+                torch.from_numpy(mask_q), torch.from_numpy(mask_mix),
+                torch.from_numpy(mask_k), torch.from_numpy(ratio),
+                torch.from_numpy(mm))
+
+        np.testing.assert_allclose(float(moco), float(e_moco),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(dvae_loss), float(e_dvae),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(cutmix), float(e_cut),
+                                   rtol=1e-4, atol=1e-4)
+        # MoCo queue advance matches (reference _dequeue_and_enqueue)
+        np.testing.assert_allclose(np.asarray(aux["buffers"]["queue"]),
+                                   to_np(tmodel.queue), atol=5e-4)
+        assert int(aux["buffers"]["queue_ptr"]) == int(tmodel.queue_ptr)
+
+    def test_converted_buffers_roundtrip(self):
+        """pointbert_buffers extracts the reference queue buffers into the
+        flax 'buffers' collection shapes (queue_ptr (1,) long -> () int32)."""
+        sd = {"queue": np.ones((CLS_DIM, 8), np.float32),
+              "queue_ptr": np.array([3], np.int64)}
+        buf = tc.pointbert_buffers(sd)
+        assert buf["queue"].shape == (CLS_DIM, 8)
+        assert buf["queue_ptr"].shape == () and buf["queue_ptr"] == 3
+        assert buf["queue_ptr"].dtype == np.int32

@@ -23,6 +23,8 @@ RULES = {
     "DiscreteVAE": lambda tc, a: tc.dvae_rules(""),
     "ACT_PointDistillation":
         lambda tc, a: tc.act_distillation_rules(teacher_arch=a.teacher_arch),
+    "ACT_PointBERT":
+        lambda tc, a: tc.act_pointbert_rules(teacher_arch=a.teacher_arch),
     "PointTransformer": lambda tc, a: tc.point_transformer_rules(head=a.head),
 }
 
@@ -40,10 +42,15 @@ def convert(src: str, dst: str, model: str, state_key: str = "base_model",
     print(f"loaded {len(sd)} torch tensors from {src}")
     if teacher_arch == "bert" or model.endswith("withBERT"):
         sd = tc.fuse_bert_qkv(sd)
+    buffers = {}
+    if model == "ACT_PointBERT":
+        buffers = tc.pointbert_buffers(sd)
+        sd = {k: v for k, v in sd.items()
+              if k not in ("queue", "queue_ptr")}
     params, batch_stats = tc.convert_state_dict(sd, RULES[model](tc, args))
 
     payload = {"params": params, "batch_stats": batch_stats,
-               "buffers": {}, "opt_state": None, "step": 0, "epoch": 0,
+               "buffers": buffers, "opt_state": None, "step": 0, "epoch": 0,
                "metrics": {}, "best_metrics": {}}
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.abspath(dst), payload, force=True)
