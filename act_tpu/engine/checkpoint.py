@@ -145,6 +145,30 @@ def fold_legacy_encoder_bias(params: dict, batch_stats: dict):
     return params, batch_stats
 
 
+def merge_checkpoint_into(variables: dict, ckpt_path: str, logger=None,
+                          tag: str = "CKPT") -> dict:
+    """THE pretrained-weights load path: load + strip the pretrain student
+    prefix + fold legacy encoder biases + merge params and batch_stats into
+    inited ``variables``. Shared by the finetune/t-SNE runners and the
+    serving export so the merge semantics cannot drift between them
+    (reference load_model_from_ckpt, models/act.py:829-867)."""
+    loaded = load_checkpoint(ckpt_path)
+    src = strip_student_prefix(loaded.get("params", loaded))
+    loaded_bs = strip_student_prefix(loaded.get("batch_stats", {}) or {})
+    src, loaded_bs = fold_legacy_encoder_bias(src, loaded_bs)
+    params = merge_pretrained(jax.device_get(variables["params"]), src,
+                              logger=logger)
+    out = {**variables, "params": params}
+    # restore BatchNorm running statistics too — evaluating with init stats
+    # (mean 0 / var 1) silently wrecks --test accuracy
+    if loaded_bs and variables.get("batch_stats"):
+        out["batch_stats"] = merge_pretrained(
+            jax.device_get(variables["batch_stats"]), loaded_bs,
+            logger=logger)
+    print_log(f"[{tag}] loaded ckpt {ckpt_path}", logger=logger)
+    return out
+
+
 def adapt_block_layout(loaded, target):
     """Convert between the two transformer-stack param layouts at the load
     boundary: per-block subtrees ``blocks_0..blocks_{D-1}`` (torch-converted

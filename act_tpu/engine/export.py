@@ -18,7 +18,6 @@ across runtime versions is not guaranteed (the export is tagged accordingly).
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional, Sequence
 
 import jax
@@ -28,39 +27,29 @@ from jax import export as jexport
 
 from act_tpu import ops
 from act_tpu.models import MODELS
-from act_tpu.utils.logger import print_log
+from act_tpu.ops._backend import pallas_mode
 
 MAGIC = "act-tpu-export-v1"
 
 
 def load_variables(config, ckpt_path: Optional[str], seed: int = 0,
                    logger=None):
-    """Init the model and merge a checkpoint exactly like the finetune
-    runner's load path (runner_finetune.build_state): strip the pretrain
-    student prefix, fold legacy encoder biases, merge params + batch_stats."""
+    """Init the model and merge a checkpoint through the shared load path
+    (checkpoint.merge_checkpoint_into — the same one the finetune/t-SNE
+    runners use, so exported weights cannot drift from what --test saw)."""
     from act_tpu.engine import checkpoint as ckpt_lib
 
     model = MODELS.build(config.model)
     npoints = int(config.npoints)
     key = jax.random.PRNGKey(seed)
     sample = jnp.zeros((2, npoints, 3), jnp.float32)
-    rngs = dict(params=key, mask=key, dropout=key, droppath=key)
+    rngs = dict(params=key, mask=key, dropout=key, droppath=key, gumbel=key)
     variables = jax.jit(lambda: model.init(rngs, sample))()
     variables = jax.device_get(variables)
 
     if ckpt_path:
-        loaded = ckpt_lib.load_checkpoint(ckpt_path)
-        src = ckpt_lib.strip_student_prefix(loaded.get("params", loaded))
-        loaded_bs = ckpt_lib.strip_student_prefix(
-            loaded.get("batch_stats", {}) or {})
-        src, loaded_bs = ckpt_lib.fold_legacy_encoder_bias(src, loaded_bs)
-        params = ckpt_lib.merge_pretrained(variables["params"], src,
-                                           logger=logger)
-        variables = {**variables, "params": params}
-        if loaded_bs:
-            variables["batch_stats"] = ckpt_lib.merge_pretrained(
-                variables.get("batch_stats", {}), loaded_bs, logger=logger)
-        print_log(f"[EXPORT] loaded ckpt {ckpt_path}", logger=logger)
+        variables = ckpt_lib.merge_checkpoint_into(variables, ckpt_path,
+                                                   logger=logger, tag="EXPORT")
     return model, variables
 
 
@@ -79,22 +68,10 @@ def build_infer_fn(model, variables, npoints: int, with_fps: bool = True):
     return infer
 
 
-def export_classifier(config, ckpt_path: Optional[str] = None,
-                      batch: Optional[int] = None, n_in: Optional[int] = None,
-                      with_fps: bool = True,
-                      platforms: Optional[Sequence[str]] = None,
-                      seed: int = 0, logger=None) -> "jexport.Exported":
-    """Lower + export the eval forward. ``batch=None`` keeps the batch
-    dimension symbolic (any B at call time); ``n_in`` is the input point
-    count (defaults to config.npoints)."""
-    model, variables = load_variables(config, ckpt_path, seed=seed,
-                                      logger=logger)
-    npoints = int(config.npoints)
-    n_in = int(n_in or npoints)
-    if not with_fps and n_in != npoints:
-        raise ValueError(f"--no-fps requires n_in == npoints ({npoints})")
-    infer = build_infer_fn(model, variables, npoints, with_fps=with_fps)
-
+def _export_point_fn(infer, n_in: int, batch: Optional[int],
+                     platforms: Optional[Sequence[str]]) -> "jexport.Exported":
+    """Lower + export a (B, n_in, 3) -> array function. ``batch=None`` keeps
+    the batch dimension symbolic (any B at call time)."""
     if batch is None:
         shape = jexport.symbolic_shape(f"b, {n_in}, 3")
     else:
@@ -102,14 +79,49 @@ def export_classifier(config, ckpt_path: Optional[str] = None,
     spec = jax.ShapeDtypeStruct(shape, jnp.float32)
 
     disabled = ()
-    if jax.default_backend() == "tpu" and os.environ.get(
-            "ACT_TPU_PALLAS", "").lower() != "off":
+    if pallas_mode() == "tpu":
         # Pallas kernels serialize as tpu_custom_calls; opt out of the
-        # stability guarantee explicitly (see module docstring).
+        # stability guarantee explicitly (see module docstring). Interpret
+        # mode and CPU trace the portable pure-XLA paths instead.
         disabled = (jexport.DisabledSafetyCheck.custom_call(
             "tpu_custom_call"),)
     return jexport.export(jax.jit(infer), platforms=platforms,
                           disabled_checks=list(disabled))(spec)
+
+
+def export_classifier(config, ckpt_path: Optional[str] = None,
+                      batch: Optional[int] = None, n_in: Optional[int] = None,
+                      with_fps: bool = True,
+                      platforms: Optional[Sequence[str]] = None,
+                      seed: int = 0, logger=None) -> "jexport.Exported":
+    """Serving classifier: (B, n_in, 3) points -> (B, cls_dim) logits.
+    ``n_in`` is the input point count (defaults to config.npoints)."""
+    model, variables = load_variables(config, ckpt_path, seed=seed,
+                                      logger=logger)
+    npoints = int(config.npoints)
+    n_in = int(n_in or npoints)
+    if not with_fps and n_in != npoints:
+        raise ValueError(f"--no-fps requires n_in == npoints ({npoints})")
+    infer = build_infer_fn(model, variables, npoints, with_fps=with_fps)
+    return _export_point_fn(infer, n_in, batch, platforms)
+
+
+def export_dvae_recon(config, ckpt_path: Optional[str] = None,
+                      batch: Optional[int] = None,
+                      platforms: Optional[Sequence[str]] = None,
+                      seed: int = 0, logger=None) -> "jexport.Exported":
+    """Stage-I serving: (B, npoints, 3) cloud -> (B, G*M, 3) reconstruction —
+    the autoencoder eval forward (hard codebook assignment at temperature 1
+    with a pinned gumbel draw, runner_autoencoder._get_recon_step)."""
+    model, variables = load_variables(config, ckpt_path, seed=seed,
+                                      logger=logger)
+    n_in = int(config.npoints)
+
+    def recon(pts):
+        ret = model.apply(variables, pts, 1.0, True,
+                          rngs=dict(gumbel=jax.random.PRNGKey(0)))
+        return ret[1]  # whole_fine
+    return _export_point_fn(recon, n_in, batch, platforms)
 
 
 def save_exported(exp: "jexport.Exported", dst: str, meta: dict) -> None:

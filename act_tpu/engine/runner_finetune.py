@@ -69,23 +69,13 @@ def build_state(args, config, logger, steps_per_epoch):
     state = TrainState.create(variables, tx)
 
     if getattr(args, "ckpts", None) and not args.resume:
-        loaded = ckpt_lib.load_checkpoint(args.ckpts)
-        # pretrain ckpts root the student at ACT_encoder/* — strip the prefix
-        # like the reference load_model_from_ckpt (models/act.py:841-848)
-        src = ckpt_lib.strip_student_prefix(loaded.get("params", loaded))
-        loaded_bs = ckpt_lib.strip_student_prefix(loaded.get("batch_stats", {})
-                                                  or {})
-        src, loaded_bs = ckpt_lib.fold_legacy_encoder_bias(src, loaded_bs)
-        merged = ckpt_lib.merge_pretrained(
-            jax.device_get(state.params), src, logger=logger)
-        state = state.replace(params=merged)
-        # restore BatchNorm running statistics too — evaluating with init
-        # stats (mean 0 / var 1) silently wrecks --test accuracy
-        if loaded_bs:
-            merged_bs = ckpt_lib.merge_pretrained(
-                jax.device_get(state.batch_stats), loaded_bs, logger=logger)
-            state = state.replace(batch_stats=merged_bs)
-        print_log(f"[FINETUNE] loaded ckpt {args.ckpts}", logger=logger)
+        # THE shared pretrained-load path (strip prefix + legacy folds +
+        # merge params/batch_stats) — see checkpoint.merge_checkpoint_into
+        merged = ckpt_lib.merge_checkpoint_into(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.ckpts, logger=logger, tag="FINETUNE")
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
     return model, state, schedule, root_key, frozen_mask, bnm
 
 

@@ -62,19 +62,8 @@ def _build_and_load(model_cfg, ckpt_path, npoints, seed, logger):
     variables = jax.jit(lambda: model.init(
         rngs, jnp.zeros((2, npoints, 3), jnp.float32)))()
     if ckpt_path:
-        payload = ckpt_lib.load_checkpoint(ckpt_path)
-        src = ckpt_lib.strip_student_prefix(payload.get("params", payload))
-        loaded_bs = ckpt_lib.strip_student_prefix(
-            payload.get("batch_stats", {}) or {})
-        src, loaded_bs = ckpt_lib.fold_legacy_encoder_bias(src, loaded_bs)
-        merged = ckpt_lib.merge_pretrained(
-            jax.device_get(variables["params"]), src, logger=logger)
-        variables = {**variables, "params": merged}
-        if loaded_bs and variables.get("batch_stats"):
-            variables["batch_stats"] = ckpt_lib.merge_pretrained(
-                jax.device_get(variables["batch_stats"]), loaded_bs,
-                logger=logger)
-        print_log(f"[TSNE] loaded {ckpt_path}", logger=logger)
+        variables = ckpt_lib.merge_checkpoint_into(variables, ckpt_path,
+                                                   logger=logger, tag="TSNE")
     return model, variables
 
 

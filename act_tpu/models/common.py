@@ -297,9 +297,11 @@ class TransformerEncoder(nn.Module):
         dpr = [float(r) for r in np.linspace(0, self.drop_path_rate, self.depth)]
         hidden = []
         for i in range(self.depth):
-            # full arg list: nn.remat's static_argnums=(2, 3) indexes
-            # q_keep_from/drop_path_rate, so the rematted block must be
-            # called with them even at their defaults
+            # full arg list: nn.remat's static_argnums counts self as arg 0
+            # (flax subtracts 1 internally), so (2, 3) marks deterministic/
+            # q_keep_from static — drop_path_rate stays traceable (the
+            # scanned path feeds a per-layer traced rate). The rematted
+            # block must still be CALLED with all four args.
             x = block_cls(self.num_heads, self.mlp_ratio, self.qkv_bias,
                           drop=self.drop, attn_drop=self.attn_drop,
                           drop_path=dpr[i], dtype=self.dtype,

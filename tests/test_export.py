@@ -86,6 +86,24 @@ class TestExportClassifier:
         np.testing.assert_allclose(got, np.asarray(jax.jit(infer1)(pts)),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_dvae_recon_export(self, rng):
+        """Stage-I serving export reproduces the autoencoder eval forward
+        (hard assignment, pinned gumbel) and keeps the batch dim symbolic."""
+        from act_tpu.engine import export as ex
+        from tests.test_models import tiny_dvae_cfg
+        config = ConfigDict(dict(model=tiny_dvae_cfg(NAME="DiscreteVAE"),
+                                 npoints=128))
+        exp = ex.export_dvae_recon(config, batch=None)
+        model, variables = ex.load_variables(config, None, seed=0)
+        for B in (1, 3):
+            pts = jnp.asarray(rng.normal(size=(B, 128, 3)).astype(np.float32))
+            direct = model.apply(variables, pts, 1.0, True,
+                                 rngs=dict(gumbel=jax.random.PRNGKey(0)))[1]
+            got = np.asarray(exp.call(pts))
+            assert got.shape == (B, 128, 3)
+            np.testing.assert_allclose(got, np.asarray(direct),
+                                       rtol=1e-5, atol=1e-5)
+
     @pytest.mark.slow
     def test_cli_end_to_end(self, tmp_path):
         import subprocess
@@ -95,10 +113,11 @@ class TestExportClassifier:
         r = subprocess.run(
             [_sys.executable, "tools/export_model.py", "export", "--config",
              "cfgs/finetune_classification/full/finetune_scan_hardest.yaml",
-             "--dst", dst, "--smoke", "--batch", "sym"],
+             "--dst", dst, "--smoke", "--batch", "sym", "--n_in", "300"],
             cwd="/root/repo", capture_output=True, text=True, timeout=420,
             env=env)
         assert r.returncode == 0, r.stderr[-2000:]
+        # run must honor the recorded n_in (artifact expects (b, 300, 3))
         r = subprocess.run(
             [_sys.executable, "tools/export_model.py", "run", "--src", dst,
              "--batch", "3"],

@@ -15,10 +15,11 @@ or checkpoints on the serving side.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def cmd_export(args):
@@ -27,19 +28,29 @@ def cmd_export(args):
 
     config = cfg_from_yaml_file(args.config)
     if args.smoke:
-        config.model.depth = 2
-        config.model.embed_dim = 32
-        config.model.encoder_dims = 32
-        config.model.num_heads = 4
+        if args.kind == "classifier":
+            config.model.depth = 2
+            config.model.embed_dim = 32
+            config.model.encoder_dims = 32
+            config.model.num_heads = 4
+        else:  # dvae: shrink the teacher stack
+            config.model.visual_embed_depth = 2
         config.npoints = min(int(config.npoints), 256)
     batch = None if args.batch in (None, "sym") else int(args.batch)
     platforms = args.platforms.split(",") if args.platforms else None
-    exp = ex.export_classifier(config, ckpt_path=args.ckpts, batch=batch,
-                               n_in=args.n_in, with_fps=not args.no_fps,
-                               platforms=platforms, seed=args.seed)
+    if args.kind == "classifier":
+        exp = ex.export_classifier(config, ckpt_path=args.ckpts, batch=batch,
+                                   n_in=args.n_in, with_fps=not args.no_fps,
+                                   platforms=platforms, seed=args.seed)
+        n_in = int(args.n_in or config.npoints)
+    else:
+        exp = ex.export_dvae_recon(config, ckpt_path=args.ckpts, batch=batch,
+                                   platforms=platforms, seed=args.seed)
+        n_in = int(config.npoints)
     ex.save_exported(exp, args.dst, meta={
-        "config": args.config, "ckpts": args.ckpts,
-        "npoints": int(config.npoints), "with_fps": not args.no_fps})
+        "config": args.config, "ckpts": args.ckpts, "kind": args.kind,
+        "npoints": int(config.npoints), "n_in": n_in,
+        "with_fps": not args.no_fps})
     print(f"wrote {args.dst} (+.json); input {exp.in_avals[0].shape} -> "
           f"output {exp.out_avals[0].shape}; platforms {list(exp.platforms)}")
 
@@ -51,13 +62,17 @@ def cmd_run(args):
     fn = load_exported(args.src)
     with open(args.src + ".json") as f:
         meta = json.load(f)
-    n = args.n_in or int(meta.get("npoints", 1024))
+    n = args.n_in or int(meta.get("n_in") or meta.get("npoints", 1024))
     pts = np.random.default_rng(0).normal(size=(args.batch, n, 3))
     pts /= np.abs(pts).max()
     t0 = time.time()
-    logits = np.asarray(fn(pts))
-    print(f"logits {logits.shape}  argmax {logits.argmax(-1).tolist()}  "
-          f"({time.time() - t0:.2f}s incl. compile)")
+    out = np.asarray(fn(pts))
+    if out.ndim == 2:  # classifier logits
+        print(f"logits {out.shape}  argmax {out.argmax(-1).tolist()}  "
+              f"({time.time() - t0:.2f}s incl. compile)")
+    else:  # dvae reconstruction cloud
+        print(f"recon {out.shape}  finite={bool(np.isfinite(out).all())}  "
+              f"({time.time() - t0:.2f}s incl. compile)")
 
 
 def main():
@@ -66,6 +81,10 @@ def main():
 
     e = sub.add_parser("export")
     e.add_argument("--config", required=True)
+    e.add_argument("--kind", default="classifier",
+                   choices=["classifier", "dvae"],
+                   help="classifier logits, or the Stage-I dVAE "
+                        "reconstruction forward")
     e.add_argument("--ckpts", default=None, help="orbax checkpoint dir")
     e.add_argument("--dst", required=True)
     e.add_argument("--batch", default="sym",

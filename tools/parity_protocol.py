@@ -43,7 +43,9 @@ def convert_pth(src: str, dst: str, model: str, head: str = "mlp-3",
     """.pth -> orbax through the ONE production pipeline
     (tools/convert_checkpoint.convert — incl. BERT qkv fusion and
     teacher_arch selection, so the two tools cannot drift)."""
-    from tools.convert_checkpoint import convert
+    from tools.convert_checkpoint import RULES, convert
+    if model not in RULES:
+        raise SystemExit(f"unsupported model {model} (have {sorted(RULES)})")
     convert(src, dst, model, state_key=state_key,
             teacher_arch=teacher_arch, head=head)
 
