@@ -338,7 +338,10 @@ def whole_scene_eval(args, state=None, model=None, logger=None,
             rngs, jnp.zeros((1, npoints, 3), jnp.float32)))()
         if getattr(args, "ckpts", None):
             payload = ckpt_lib.load_checkpoint(args.ckpts)
-            variables = {"params": payload["params"],
+            # converted/legacy ckpts may carry the other stack layout
+            params = ckpt_lib.adapt_block_layout(
+                payload["params"], jax.device_get(variables["params"]))
+            variables = {"params": params,
                          "batch_stats": payload.get("batch_stats", {})}
     else:
         variables = state.variables()

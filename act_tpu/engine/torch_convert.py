@@ -441,6 +441,59 @@ def act_distillation_rules(teacher_arch: str = "vit"
     return R
 
 
+def seg_rules(with_label: bool) -> List[Tuple[str, str, str]]:
+    """Part/semantic segmentation get_model -> {Part,Sem}SegTransformer
+    (reference part_segmentation/models/pt.py:178-355 and
+    semantic_segmentation/models/pt.py:178-350; one shared flax head,
+    models/segmentation.py). Head keys accept BOTH the current ``*_cls``
+    names and the pre-rename released-checkpoint names (the reference's
+    load_model_from_ckpt_withrename maps between them,
+    semantic_segmentation/models/pt.py:280-300)."""
+    C = r"(?:_cls)?"
+    R = []
+    R += encoder_rules("encoder", "backbone/encoder")
+    R += pos_embed_rules("pos_embed", "backbone/pos_embed")
+    R += vit_block_rules(r"blocks\.blocks", "backbone/blocks")
+    R += [(r"^norm\.weight$", "backbone/norm/scale", "none"),
+          (r"^norm\.bias$", "backbone/norm/bias", "none")]
+    # 3-NN propagation MLP: Conv1d(k=1) + BN pairs
+    for i in (0, 1):
+        R += [
+            (rf"^propagation_0{C}\.mlp_convs\.{i}\.weight$",
+             f"head/propagation_0/conv{i}/kernel", "conv1d"),
+            (rf"^propagation_0{C}\.mlp_convs\.{i}\.bias$",
+             f"head/propagation_0/conv{i}/bias", "none"),
+            (rf"^propagation_0{C}\.mlp_bns\.{i}\.weight$",
+             f"head/propagation_0/bn{i}/scale", "none"),
+            (rf"^propagation_0{C}\.mlp_bns\.{i}\.bias$",
+             f"head/propagation_0/bn{i}/bias", "none"),
+            (rf"^propagation_0{C}\.mlp_bns\.{i}\.running_mean$",
+             f"BS:head/propagation_0/bn{i}/mean", "none"),
+            (rf"^propagation_0{C}\.mlp_bns\.{i}\.running_var$",
+             f"BS:head/propagation_0/bn{i}/var", "none"),
+        ]
+    for j in (1, 2, 3):
+        R += [(rf"^convs{j}{C}\.weight$", f"head/convs{j}/kernel", "conv1d"),
+              (rf"^convs{j}{C}\.bias$", f"head/convs{j}/bias", "none")]
+    for j in (1, 2):
+        R += [(rf"^bns{j}{C}\.weight$", f"head/bns{j}/scale", "none"),
+              (rf"^bns{j}{C}\.bias$", f"head/bns{j}/bias", "none"),
+              (rf"^bns{j}{C}\.running_mean$", f"BS:head/bns{j}/mean", "none"),
+              (rf"^bns{j}{C}\.running_var$", f"BS:head/bns{j}/var", "none")]
+    if with_label:
+        R += [
+            (rf"^label_conv{C}\.0\.weight$", "head/label_conv/kernel",
+             "conv1d"),
+            (rf"^label_conv{C}\.1\.weight$", "head/label_bn/scale", "none"),
+            (rf"^label_conv{C}\.1\.bias$", "head/label_bn/bias", "none"),
+            (rf"^label_conv{C}\.1\.running_mean$", "BS:head/label_bn/mean",
+             "none"),
+            (rf"^label_conv{C}\.1\.running_var$", "BS:head/label_bn/var",
+             "none"),
+        ]
+    return R
+
+
 def act_pointbert_rules(teacher_arch: str = "vit"
                         ) -> List[Tuple[str, str, str]]:
     """ACT_PointBERT: MoCo q/k MaskTransformers + frozen prompted dVAE

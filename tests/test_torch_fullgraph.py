@@ -767,3 +767,170 @@ class TestPointBERTFullGraph:
         assert buf["queue"].shape == (CLS_DIM, 8)
         assert buf["queue_ptr"].shape == () and buf["queue_ptr"] == 3
         assert buf["queue_ptr"].dtype == np.int32
+
+
+# ---------------------------------------------------------------------------
+# Semantic segmentation full graph (released MODEL_ZOO row: S3DIS 61.2 mIoU)
+# ---------------------------------------------------------------------------
+
+class TorchSegStack(tnn.Module):
+    """TransformerEncoder with multi-scale fetch at {3, 7, 11}
+    (reference semantic_segmentation/models/pt.py:150-175)."""
+
+    def __init__(self, dim, depth, heads):
+        super().__init__()
+        self.blocks = tnn.ModuleList(
+            [TorchViTBlock(dim, heads) for _ in range(depth)])
+
+    def forward(self, x, pos, fetch=(3, 7, 11)):
+        out = []
+        for i, blk in enumerate(self.blocks):
+            x = blk(x + pos)
+            if i in fetch:
+                out.append(x)
+        return out
+
+
+class TorchPropagation(tnn.Module):
+    """PointNetFeaturePropagation (reference semantic_segmentation/models/
+    pointnet2_utils.py:262-312): 3-NN inverse-distance interpolation +
+    Conv1d/BN/ReLU MLP. Channel-first like the reference."""
+
+    def __init__(self, in_channel, mlp):
+        super().__init__()
+        self.mlp_convs = tnn.ModuleList()
+        self.mlp_bns = tnn.ModuleList()
+        last = in_channel
+        for out in mlp:
+            self.mlp_convs.append(tnn.Conv1d(last, out, 1))
+            self.mlp_bns.append(tnn.BatchNorm1d(out))
+            last = out
+
+    def forward(self, xyz1, xyz2, points1, points2):
+        # xyz1 (B,3,N) unknown, xyz2 (B,3,S) known, points1 (B,3,N) raw
+        # coords, points2 (B,D,S) features
+        xyz1 = xyz1.permute(0, 2, 1)
+        xyz2 = xyz2.permute(0, 2, 1)
+        points2 = points2.permute(0, 2, 1)
+        B, N, _ = xyz1.shape
+        d = (xyz1.unsqueeze(2) - xyz2.unsqueeze(1)).pow(2).sum(-1)  # (B,N,S)
+        dists, idx = d.sort(dim=-1)
+        dists, idx = dists[:, :, :3], idx[:, :, :3]
+        recip = 1.0 / (dists + 1e-8)
+        weight = recip / recip.sum(2, keepdim=True)
+        gathered = torch.stack(
+            [points2[b][idx[b]] for b in range(B)])  # (B,N,3,D)
+        interp = (gathered * weight.unsqueeze(-1)).sum(2)  # (B,N,D)
+        new = torch.cat([points1.permute(0, 2, 1), interp], dim=-1)
+        new = new.permute(0, 2, 1)
+        for conv, bn in zip(self.mlp_convs, self.mlp_bns):
+            new = F.relu(bn(conv(new)))
+        return new  # (B, mlp[-1], N)
+
+
+class TorchSemSeg(tnn.Module):
+    """S3DIS get_model (reference semantic_segmentation/models/pt.py:178-350),
+    released full-scale dims (384/12/6), grouping taken as input."""
+
+    def __init__(self, cls_dim=13, dim=384, depth=12, heads=6):
+        super().__init__()
+        self.encoder = TorchMiniPointNet(dim)
+        self.pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, dim))
+        self.blocks = TorchSegStack(dim, depth, heads)
+        self.norm = tnn.LayerNorm(dim)
+        self.propagation_0_cls = TorchPropagation(dim * 3 + 3,
+                                                  [dim * 4, 1024])
+        self.convs1_cls = tnn.Conv1d(1024 + dim * 6, 512, 1)
+        self.dp1 = tnn.Dropout(0.5)
+        self.convs2_cls = tnn.Conv1d(512, 256, 1)
+        self.convs3_cls = tnn.Conv1d(256, cls_dim, 1)
+        self.bns1_cls = tnn.BatchNorm1d(512)
+        self.bns2_cls = tnn.BatchNorm1d(256)
+
+    def forward(self, nbr, center, pts):
+        Bb, Nn = pts.shape[:2]
+        tokens = self.encoder(nbr)
+        pos = self.pos_embed(center)
+        feats = self.blocks(tokens, pos)
+        feats = [self.norm(f).transpose(-1, -2) for f in feats]
+        x = torch.cat(feats, dim=1)  # (B, 1152, G)
+        x_max = x.max(2)[0]
+        x_avg = x.mean(2)
+        x_global = torch.cat([
+            x_max.view(Bb, -1).unsqueeze(-1).repeat(1, 1, Nn),
+            x_avg.view(Bb, -1).unsqueeze(-1).repeat(1, 1, Nn)], dim=1)
+        f0 = self.propagation_0_cls(pts.transpose(-1, -2),
+                                    center.transpose(-1, -2),
+                                    pts.transpose(-1, -2), x)
+        h = torch.cat([f0, x_global], dim=1)
+        h = F.relu(self.bns1_cls(self.convs1_cls(h)))
+        h = self.dp1(h)
+        h = F.relu(self.bns2_cls(self.convs2_cls(h)))
+        h = self.convs3_cls(h)
+        return F.log_softmax(h, dim=1).permute(0, 2, 1)
+
+
+class TestSemSegFullGraph:
+    def test_log_probs_match_torch(self, rng):
+        from act_tpu.models.segmentation import SemSegTransformer
+
+        torch.manual_seed(13)
+        tmodel = TorchSemSeg().eval()
+        sd = {k: to_np(v) for k, v in tmodel.state_dict().items()}
+        params, batch_stats = tc.convert_state_dict(
+            sd, tc.seg_rules(with_label=False))
+
+        cfg = ConfigDict(dict(NAME="SemSegTransformer", cls_dim=13,
+                              num_group=16, group_size=8))
+        fmodel = SemSegTransformer(cfg)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        variables = fmodel.init(RNGS, pts)
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        params = adapt_block_layout(params, jax.device_get(variables["params"]))
+        assert_tree_covers(variables["params"], params, "SemSegTransformer")
+        assert_tree_covers(variables["batch_stats"], batch_stats,
+                           "SemSegTransformer/bs")
+
+        got = np.asarray(fmodel.apply(
+            {"params": params, "batch_stats": batch_stats}, pts, train=False))
+
+        nbr, center = ops.group_points(pts, 16, 8)
+        with torch.no_grad():
+            expect = to_np(tmodel(torch.from_numpy(np.asarray(nbr)),
+                                  torch.from_numpy(np.asarray(center)),
+                                  torch.from_numpy(np.asarray(pts))))
+        np.testing.assert_allclose(got, expect, atol=5e-4)
+
+    def test_released_rename_layout_also_converts(self):
+        """The released ckpt predates the *_cls rename (the reference loads it
+        via load_model_from_ckpt_withrename); both key layouts must hit the
+        same rules."""
+        for prefix in ("convs1", "convs1_cls"):
+            sd = {f"{prefix}.weight": np.ones((512, 3328, 1), np.float32)}
+            params, _ = tc.convert_state_dict(sd, tc.seg_rules(False))
+            assert params["head"]["convs1"]["kernel"].shape == (3328, 512)
+
+
+@pytest.mark.slow
+class TestSemSegParityRehearsal:
+    """Turnkey parity rehearsal for the released S3DIS row (MODEL_ZOO.md:16):
+    a fabricated full-scale state dict in the exact released layout
+    (pre-*_cls key names under 'model_state_dict') goes through the
+    production converter -> orbax -> whole-scene vote eval. Zero debugging
+    left for the day the archive appears."""
+
+    def test_released_s3dis_pth_to_whole_scene_eval(self, tmp_path,
+                                                    monkeypatch):
+        from tools.parity_protocol import run_protocol
+        torch.manual_seed(23)
+        tmodel = TorchSemSeg().eval()
+        sd = {k.replace("_cls", ""): v for k, v in tmodel.state_dict().items()}
+        pth = tmp_path / "s3dis_best.pth"
+        torch.save({"model_state_dict": sd, "epoch": 99}, pth)
+        monkeypatch.chdir("/root/repo")
+        result = run_protocol("s3dis", str(pth),
+                              exp_name=f"s3dis_rehearsal_{os.getpid()}",
+                              smoke=True)
+        assert result["zoo_acc"] == 61.2
+        assert 0.0 <= result["ours"] <= 100.0

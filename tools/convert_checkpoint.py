@@ -26,6 +26,8 @@ RULES = {
     "ACT_PointBERT":
         lambda tc, a: tc.act_pointbert_rules(teacher_arch=a.teacher_arch),
     "PointTransformer": lambda tc, a: tc.point_transformer_rules(head=a.head),
+    "PartSegTransformer": lambda tc, a: tc.seg_rules(with_label=True),
+    "SemSegTransformer": lambda tc, a: tc.seg_rules(with_label=False),
 }
 
 

@@ -36,6 +36,9 @@ TASKS = {
     "modelnet": ("cfgs/finetune_classification/full/finetune_modelnet.yaml", 93.70),
 }
 
+# MODEL_ZOO.md:16 — released S3DIS semantic-seg ckpt, whole-scene vote mIoU %
+SEG_TASKS = {"s3dis": 61.2}
+
 
 def convert_pth(src: str, dst: str, model: str, head: str = "mlp-3",
                 state_key: str = "base_model",
@@ -73,8 +76,11 @@ def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
     from act_tpu.utils.config import get_config
     from act_tpu.engine import runner_finetune
 
-    cfg_path, zoo_acc = TASKS[task]
     exp_name = exp_name or f"parity_{task}"
+    if task in SEG_TASKS:
+        return _run_seg_protocol(task, ckpt_pth, data_root=data_root,
+                                 exp_name=exp_name, smoke=smoke)
+    cfg_path, zoo_acc = TASKS[task]
 
     model = "ACT_PointDistillation" if from_pretrain else "PointTransformer"
     orbax_dir = os.path.join("./work_dirs", "parity", exp_name,
@@ -122,6 +128,40 @@ def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
     return result
 
 
+def _run_seg_protocol(task: str, ckpt_pth: str, data_root: str = None,
+                      exp_name: str = None, smoke: bool = False):
+    """Released S3DIS semantic-seg ckpt -> whole-scene vote mIoU vs zoo
+    (reference semantic_segmentation/main_test.py + MODEL_ZOO.md:16). The
+    released key layout (pre-*_cls rename, {'model_state_dict': ...}) is
+    handled by seg_rules/load_torch_state_dict."""
+    from act_tpu.engine.runner_segmentation import whole_scene_eval
+    from act_tpu.utils.logger import get_root_logger
+
+    zoo = SEG_TASKS[task]
+    orbax_dir = os.path.join("./work_dirs", "parity", exp_name,
+                             "converted.orbax")
+    os.makedirs(os.path.dirname(orbax_dir), exist_ok=True)
+    convert_pth(ckpt_pth, orbax_dir, "SemSegTransformer")
+
+    args = argparse.Namespace(
+        npoint=256 if smoke else 2048, test_area=5, ckpts=orbax_dir,
+        root=(os.path.join(data_root, "stanford_indoor3d") if data_root
+              else "data/stanford_indoor3d"),
+        smoke=smoke,
+        experiment_path=os.path.join("./work_dirs", "parity", exp_name))
+    logger = get_root_logger(
+        log_file=os.path.join(args.experiment_path, "parity.log"),
+        name="SemSeg")
+    metrics = whole_scene_eval(args, logger=logger,
+                               vote_num=1 if smoke else 3)
+    ours = metrics["mIoU"] * 100.0
+    delta = ours - zoo
+    return {"task": task, "config": "semantic_segmentation/main_test.py",
+            "zoo_acc": zoo, "ours": ours, "delta": delta,
+            "within_0.2": abs(delta) <= 0.2, "vote": True,
+            "from_pretrain": False}
+
+
 def print_table(results) -> None:
     print("\n| task | config | zoo OA | ours | delta | within 0.2% |")
     print("|---|---|---|---|---|---|")
@@ -134,7 +174,8 @@ def print_table(results) -> None:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", required=True, help="released .pth")
-    parser.add_argument("--task", required=True, choices=sorted(TASKS))
+    parser.add_argument("--task", required=True,
+                        choices=sorted(TASKS) + sorted(SEG_TASKS))
     parser.add_argument("--vote", action="store_true",
                         help="300-round vote protocol (reference test :425)")
     parser.add_argument("--from_pretrain", action="store_true",
