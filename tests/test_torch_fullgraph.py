@@ -934,3 +934,88 @@ class TestSemSegParityRehearsal:
                               smoke=True)
         assert result["zoo_acc"] == 61.2
         assert 0.0 <= result["ours"] <= 100.0
+
+
+class TorchPartSeg(tnn.Module):
+    """ShapeNetPart get_model (reference part_segmentation/models/pt.py:
+    178-350): the semseg trunk + 16-way object-label conv in the global
+    feature."""
+
+    def __init__(self, cls_dim=50, dim=384, depth=12, heads=6):
+        super().__init__()
+        self.encoder = TorchMiniPointNet(dim)
+        self.pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, dim))
+        self.blocks = TorchSegStack(dim, depth, heads)
+        self.norm = tnn.LayerNorm(dim)
+        self.label_conv_cls = tnn.Sequential(
+            tnn.Conv1d(16, 64, kernel_size=1, bias=False),
+            tnn.BatchNorm1d(64), tnn.LeakyReLU(0.2))
+        self.propagation_0_cls = TorchPropagation(dim * 3 + 3,
+                                                  [dim * 4, 1024])
+        self.convs1_cls = tnn.Conv1d(1024 + dim * 6 + 64, 512, 1)
+        self.dp1 = tnn.Dropout(0.5)
+        self.convs2_cls = tnn.Conv1d(512, 256, 1)
+        self.convs3_cls = tnn.Conv1d(256, cls_dim, 1)
+        self.bns1_cls = tnn.BatchNorm1d(512)
+        self.bns2_cls = tnn.BatchNorm1d(256)
+
+    def forward(self, nbr, center, pts, cls_label):
+        Bb, Nn = pts.shape[:2]
+        tokens = self.encoder(nbr)
+        pos = self.pos_embed(center)
+        feats = self.blocks(tokens, pos)
+        feats = [self.norm(f).transpose(-1, -2) for f in feats]
+        x = torch.cat(feats, dim=1)
+        x_max = x.max(2)[0]
+        x_avg = x.mean(2)
+        lab = self.label_conv_cls(cls_label.view(Bb, 16, 1))
+        x_global = torch.cat([
+            x_max.view(Bb, -1).unsqueeze(-1).repeat(1, 1, Nn),
+            x_avg.view(Bb, -1).unsqueeze(-1).repeat(1, 1, Nn),
+            lab.repeat(1, 1, Nn)], dim=1)
+        f0 = self.propagation_0_cls(pts.transpose(-1, -2),
+                                    center.transpose(-1, -2),
+                                    pts.transpose(-1, -2), x)
+        h = torch.cat([f0, x_global], dim=1)
+        h = F.relu(self.bns1_cls(self.convs1_cls(h)))
+        h = self.dp1(h)
+        h = F.relu(self.bns2_cls(self.convs2_cls(h)))
+        h = self.convs3_cls(h)
+        return F.log_softmax(h, dim=1).permute(0, 2, 1)
+
+
+class TestPartSegFullGraph:
+    def test_log_probs_match_torch(self, rng):
+        from act_tpu.models.segmentation import PartSegTransformer
+
+        torch.manual_seed(17)
+        tmodel = TorchPartSeg().eval()
+        sd = {k: to_np(v) for k, v in tmodel.state_dict().items()}
+        params, batch_stats = tc.convert_state_dict(
+            sd, tc.seg_rules(with_label=True))
+
+        cfg = ConfigDict(dict(NAME="PartSegTransformer", cls_dim=50,
+                              num_group=16, group_size=8))
+        fmodel = PartSegTransformer(cfg)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        one_hot = jnp.eye(16, dtype=jnp.float32)[jnp.asarray([2, 9])]
+        variables = fmodel.init(RNGS, pts, one_hot)
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        params = adapt_block_layout(params, jax.device_get(variables["params"]))
+        assert_tree_covers(variables["params"], params, "PartSegTransformer")
+        assert_tree_covers(variables["batch_stats"], batch_stats,
+                           "PartSegTransformer/bs")
+
+        got = np.asarray(fmodel.apply(
+            {"params": params, "batch_stats": batch_stats}, pts, one_hot,
+            train=False))
+
+        nbr, center = ops.group_points(pts, 16, 8)
+        with torch.no_grad():
+            expect = to_np(tmodel(
+                torch.from_numpy(np.asarray(nbr)),
+                torch.from_numpy(np.asarray(center)),
+                torch.from_numpy(np.asarray(pts)),
+                torch.from_numpy(np.asarray(one_hot))))
+        np.testing.assert_allclose(got, expect, atol=5e-4)
