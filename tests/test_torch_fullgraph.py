@@ -1019,3 +1019,24 @@ class TestPartSegFullGraph:
                 torch.from_numpy(np.asarray(pts)),
                 torch.from_numpy(np.asarray(one_hot))))
         np.testing.assert_allclose(got, expect, atol=5e-4)
+
+
+@pytest.mark.slow
+class TestFewShotParityRehearsal:
+    """Few-shot MODEL_ZOO rows: released pretrain .pth -> convert -> fold
+    finetunes -> mean±std acc. Smoke pins the turnkey pipeline (single fold,
+    tiny model; 20% = 5-way chance with a tiny fabricated ckpt)."""
+
+    def test_pretrain_pth_to_fewshot_protocol(self, tmp_path, monkeypatch):
+        from tools.parity_protocol import run_protocol
+        torch.manual_seed(29)
+        tmodel = TorchDistill().eval()
+        pth = tmp_path / "pretrain.pth"
+        torch.save({"base_model": tmodel.state_dict()}, pth)
+        monkeypatch.chdir("/root/repo")
+        result = run_protocol("fewshot_modelnet_5w10s", str(pth),
+                              exp_name=f"fewshot_rehearsal_{os.getpid()}",
+                              smoke=True)
+        assert result["zoo_acc"] == 96.8
+        assert 0.0 <= result["ours"] <= 100.0
+        assert "std" in result

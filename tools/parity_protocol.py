@@ -16,6 +16,13 @@ Usage (datasets at the standard ./data layout, or pass --data_root):
     python tools/parity_protocol.py --ckpt ckpt_pretrain.pth \
         --task modelnet --from_pretrain
 
+    # released S3DIS semantic-seg ckpt -> whole-scene vote mIoU
+    python tools/parity_protocol.py --ckpt s3dis_best.pth --task s3dis
+
+    # released pretrain ckpt -> 10-fold few-shot -> mean±std acc
+    python tools/parity_protocol.py --ckpt ckpt_pretrain.pth \
+        --task fewshot_modelnet_5w10s
+
 The end-to-end pipeline (fabricated full-size released-layout state dict ->
 converter -> orbax -> test protocol) is rehearsed by
 ``tests/test_torch_fullgraph.py::TestParityRehearsal`` so this command needs
@@ -38,6 +45,17 @@ TASKS = {
 
 # MODEL_ZOO.md:16 — released S3DIS semantic-seg ckpt, whole-scene vote mIoU %
 SEG_TASKS = {"s3dis": 61.2}
+
+# MODEL_ZOO.md:21-23 few-shot rows: task -> (way, shot, zoo mean acc %).
+# Input is the released Stage-II PRETRAIN ckpt; the protocol finetunes all
+# 10 folds and reports mean±std like the reference (datasets/ModelNetFewShot).
+FEWSHOT_TASKS = {
+    "fewshot_modelnet_5w10s": (5, 10, 96.8),
+    "fewshot_modelnet_5w20s": (5, 20, 98.0),
+    "fewshot_modelnet_10w10s": (10, 10, 93.3),
+    "fewshot_modelnet_10w20s": (10, 20, 95.6),
+}
+FEWSHOT_CFG = "cfgs/finetune_classification/few_shot/fewshot_modelnet.yaml"
 
 
 def convert_pth(src: str, dst: str, model: str, head: str = "mlp-3",
@@ -80,6 +98,10 @@ def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
     if task in SEG_TASKS:
         return _run_seg_protocol(task, ckpt_pth, data_root=data_root,
                                  exp_name=exp_name, smoke=smoke)
+    if task in FEWSHOT_TASKS:
+        return _run_fewshot_protocol(task, ckpt_pth, data_root=data_root,
+                                     exp_name=exp_name, smoke=smoke,
+                                     teacher_arch=teacher_arch)
     cfg_path, zoo_acc = TASKS[task]
 
     model = "ACT_PointDistillation" if from_pretrain else "PointTransformer"
@@ -162,6 +184,55 @@ def _run_seg_protocol(task: str, ckpt_pth: str, data_root: str = None,
             "from_pretrain": False}
 
 
+def _run_fewshot_protocol(task: str, ckpt_pth: str, data_root: str = None,
+                          exp_name: str = None, smoke: bool = False,
+                          teacher_arch: str = "vit"):
+    """Released pretrain ckpt -> 10-fold few-shot finetune -> mean±std acc vs
+    the MODEL_ZOO row (reference few-shot recipe: main.py --way/--shot/--fold
+    over folds 0-9, best validation OA per fold)."""
+    import numpy as np
+    from act_tpu.utils.parser import get_args
+    from act_tpu.utils.config import get_config
+    from act_tpu.engine import runner_finetune, checkpoint as ckpt_lib
+
+    way, shot, zoo = FEWSHOT_TASKS[task]
+    orbax_dir = os.path.join("./work_dirs", "parity", exp_name,
+                             "converted.orbax")
+    os.makedirs(os.path.dirname(orbax_dir), exist_ok=True)
+    convert_pth(ckpt_pth, orbax_dir, "ACT_PointDistillation",
+                teacher_arch=teacher_arch)
+
+    folds = [0] if smoke else range(10)
+    accs = []
+    for fold in folds:
+        argv = ["--config", FEWSHOT_CFG, "--exp_name", f"{exp_name}_f{fold}",
+                "--ckpts", orbax_dir, "--finetune_model",
+                "--way", str(way), "--shot", str(shot), "--fold", str(fold)]
+        if smoke:
+            argv += ["--smoke"]
+        args = get_args(argv)
+        config = get_config(args)
+        # way/shot/fold dataset overrides exactly like main.py:48-54
+        for split in (config.dataset.train, config.dataset.val):
+            split.others.way = way
+            split.others.shot = shot
+            split.others.fold = fold
+        if data_root:
+            _rewrite_data_root(config, data_root)
+        runner_finetune.run_net(args, config)
+        payload = ckpt_lib.load_checkpoint(
+            os.path.join(args.experiment_path, "ckpt-best"))
+        accs.append(float(payload["best_metrics"]["acc"]))
+        print(f"[PARITY] fold {fold}: best OA {accs[-1]:.2f}")
+
+    ours, std = float(np.mean(accs)), float(np.std(accs))
+    delta = ours - zoo
+    return {"task": task, "config": FEWSHOT_CFG, "zoo_acc": zoo,
+            "ours": ours, "std": std, "delta": delta,
+            "within_0.2": abs(delta) <= 0.2, "vote": False,
+            "from_pretrain": True}
+
+
 def print_table(results) -> None:
     print("\n| task | config | zoo OA | ours | delta | within 0.2% |")
     print("|---|---|---|---|---|---|")
@@ -175,7 +246,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ckpt", required=True, help="released .pth")
     parser.add_argument("--task", required=True,
-                        choices=sorted(TASKS) + sorted(SEG_TASKS))
+                        choices=(sorted(TASKS) + sorted(SEG_TASKS)
+                                 + sorted(FEWSHOT_TASKS)))
     parser.add_argument("--vote", action="store_true",
                         help="300-round vote protocol (reference test :425)")
     parser.add_argument("--from_pretrain", action="store_true",
