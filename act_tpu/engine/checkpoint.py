@@ -146,15 +146,23 @@ def fold_legacy_encoder_bias(params: dict, batch_stats: dict):
 
 
 def merge_checkpoint_into(variables: dict, ckpt_path: str, logger=None,
-                          tag: str = "CKPT") -> dict:
+                          tag: str = "CKPT", strip: bool = True) -> dict:
     """THE pretrained-weights load path: load + strip the pretrain student
     prefix + fold legacy encoder biases + merge params and batch_stats into
     inited ``variables``. Shared by the finetune/t-SNE runners and the
     serving export so the merge semantics cannot drift between them
-    (reference load_model_from_ckpt, models/act.py:829-867)."""
+    (reference load_model_from_ckpt, models/act.py:829-867).
+
+    ``strip=False`` when the TARGET itself roots the student at
+    ACT_encoder/* (loading a pretrain ckpt back into the pretrain model,
+    e.g. the feature-extractor export) — lifting the prefix there would
+    orphan every student tensor."""
     loaded = load_checkpoint(ckpt_path)
-    src = strip_student_prefix(loaded.get("params", loaded))
-    loaded_bs = strip_student_prefix(loaded.get("batch_stats", {}) or {})
+    src = loaded.get("params", loaded)
+    loaded_bs = loaded.get("batch_stats", {}) or {}
+    if strip:
+        src = strip_student_prefix(src)
+        loaded_bs = strip_student_prefix(loaded_bs)
     src, loaded_bs = fold_legacy_encoder_bias(src, loaded_bs)
     params = merge_pretrained(jax.device_get(variables["params"]), src,
                               logger=logger)

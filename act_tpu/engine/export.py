@@ -106,6 +106,37 @@ def export_classifier(config, ckpt_path: Optional[str] = None,
     return _export_point_fn(infer, n_in, batch, platforms)
 
 
+def export_features(config, ckpt_path: Optional[str] = None,
+                    batch: Optional[int] = None, n_in: Optional[int] = None,
+                    platforms: Optional[Sequence[str]] = None,
+                    seed: int = 0, logger=None) -> "jexport.Exported":
+    """Embedding extractor for a pretrain checkpoint: (B, n_in, 3) ->
+    (B, D) cls features — the SVM-probe forward (runner_pretrain.feat_step:
+    optional FPS resample + noaug eval). The checkpoint loads WITHOUT the
+    student-prefix strip: the pretrain model itself roots the student at
+    ACT_encoder/*."""
+    from act_tpu.engine import checkpoint as ckpt_lib
+
+    model = MODELS.build(config.model)
+    npoints = int(config.npoints)
+    n_in = int(n_in or npoints)
+    key = jax.random.PRNGKey(seed)
+    rngs = dict(params=key, mask=key, dropout=key, droppath=key, gumbel=key)
+    variables = jax.device_get(jax.jit(lambda: model.init(
+        rngs, jnp.zeros((2, npoints, 3), jnp.float32)))())
+    if ckpt_path:
+        variables = ckpt_lib.merge_checkpoint_into(
+            variables, ckpt_path, logger=logger, tag="EXPORT", strip=False)
+
+    def feats(pts):
+        if n_in != npoints:
+            pts = ops.gather_points(pts,
+                                    ops.furthest_point_sample(pts, npoints))
+        return model.apply(variables, pts, noaug=True,
+                           rngs=dict(gumbel=key, mask=key))
+    return _export_point_fn(feats, n_in, batch, platforms)
+
+
 def export_dvae_recon(config, ckpt_path: Optional[str] = None,
                       batch: Optional[int] = None,
                       platforms: Optional[Sequence[str]] = None,

@@ -104,6 +104,34 @@ class TestExportClassifier:
             np.testing.assert_allclose(got, np.asarray(direct),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_features_export(self, rng):
+        """Pretrain embedding extractor (SVM-probe forward): symbolic batch,
+        FPS engages when n_in != npoints, matches the direct noaug apply."""
+        from act_tpu.engine import export as ex
+        from tests.test_models import tiny_pretrain_cfg
+        config = ConfigDict(dict(model=tiny_pretrain_cfg(), npoints=128))
+        exp = ex.export_features(config, batch=None, n_in=160)
+        model, variables = None, None
+        from act_tpu.models import MODELS
+        model = MODELS.build(config.model)
+        key = jax.random.PRNGKey(0)
+        rngs = dict(params=key, mask=key, dropout=key, droppath=key,
+                    gumbel=key)
+        variables = jax.device_get(jax.jit(lambda: model.init(
+            rngs, jnp.zeros((2, 128, 3), jnp.float32)))())
+        from act_tpu import ops as aops
+
+        def direct(pts):
+            pts = aops.gather_points(
+                pts, aops.furthest_point_sample(pts, 128))
+            return model.apply(variables, pts, noaug=True,
+                               rngs=dict(gumbel=key, mask=key))
+        pts = jnp.asarray(rng.normal(size=(3, 160, 3)).astype(np.float32))
+        got = np.asarray(exp.call(pts))
+        assert got.ndim == 2 and got.shape[0] == 3
+        np.testing.assert_allclose(got, np.asarray(jax.jit(direct)(pts)),
+                                   rtol=1e-5, atol=1e-5)
+
     @pytest.mark.slow
     def test_cli_end_to_end(self, tmp_path):
         import subprocess

@@ -27,14 +27,17 @@ def cmd_export(args):
     from act_tpu.engine import export as ex
 
     config = cfg_from_yaml_file(args.config)
+    if "npoints" not in config:  # pretrain yamls carry it per dataset split
+        config.npoints = int(config.dataset.val.others.npoints)
     if args.smoke:
+        # reuse the runners' smoke shrinks so the tiny dims stay consistent
         if args.kind == "classifier":
-            config.model.depth = 2
-            config.model.embed_dim = 32
-            config.model.encoder_dims = 32
-            config.model.num_heads = 4
-        else:  # dvae: shrink the teacher stack
-            config.model.visual_embed_depth = 2
+            from act_tpu.engine.runner_finetune import _apply_smoke
+        elif args.kind == "dvae":
+            from act_tpu.engine.runner_autoencoder import _apply_smoke
+        else:
+            from act_tpu.engine.runner_pretrain import _apply_smoke
+        config = _apply_smoke(config)
         config.npoints = min(int(config.npoints), 256)
     batch = None if args.batch in (None, "sym") else int(args.batch)
     platforms = args.platforms.split(",") if args.platforms else None
@@ -42,6 +45,11 @@ def cmd_export(args):
         exp = ex.export_classifier(config, ckpt_path=args.ckpts, batch=batch,
                                    n_in=args.n_in, with_fps=not args.no_fps,
                                    platforms=platforms, seed=args.seed)
+        n_in = int(args.n_in or config.npoints)
+    elif args.kind == "features":
+        exp = ex.export_features(config, ckpt_path=args.ckpts, batch=batch,
+                                 n_in=args.n_in, platforms=platforms,
+                                 seed=args.seed)
         n_in = int(args.n_in or config.npoints)
     else:
         exp = ex.export_dvae_recon(config, ckpt_path=args.ckpts, batch=batch,
@@ -67,12 +75,17 @@ def cmd_run(args):
     pts /= np.abs(pts).max()
     t0 = time.time()
     out = np.asarray(fn(pts))
-    if out.ndim == 2:  # classifier logits
+    dt = time.time() - t0
+    kind = meta.get("kind", "classifier")
+    if kind == "classifier" and out.ndim == 2:
         print(f"logits {out.shape}  argmax {out.argmax(-1).tolist()}  "
-              f"({time.time() - t0:.2f}s incl. compile)")
+              f"({dt:.2f}s incl. compile)")
+    elif kind == "features":
+        print(f"features {out.shape}  finite={bool(np.isfinite(out).all())}  "
+              f"({dt:.2f}s incl. compile)")
     else:  # dvae reconstruction cloud
         print(f"recon {out.shape}  finite={bool(np.isfinite(out).all())}  "
-              f"({time.time() - t0:.2f}s incl. compile)")
+              f"({dt:.2f}s incl. compile)")
 
 
 def main():
@@ -82,8 +95,9 @@ def main():
     e = sub.add_parser("export")
     e.add_argument("--config", required=True)
     e.add_argument("--kind", default="classifier",
-                   choices=["classifier", "dvae"],
-                   help="classifier logits, or the Stage-I dVAE "
+                   choices=["classifier", "features", "dvae"],
+                   help="classifier logits, pretrain embedding features "
+                        "(SVM-probe forward), or the Stage-I dVAE "
                         "reconstruction forward")
     e.add_argument("--ckpts", default=None, help="orbax checkpoint dir")
     e.add_argument("--dst", required=True)
