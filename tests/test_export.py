@@ -104,6 +104,21 @@ class TestExportClassifier:
             np.testing.assert_allclose(got, np.asarray(direct),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_cross_platform_artifact(self, rng, tmp_path):
+        """--platforms cpu,tpu from a CPU host: one artifact lowered for both
+        (the pure-XLA trace is portable; no TPU needed at export time)."""
+        from act_tpu.engine import export as ex
+        config = tiny_config()
+        exp = ex.export_classifier(config, batch=2, platforms=["cpu", "tpu"])
+        assert tuple(exp.platforms) == ("cpu", "tpu")
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        assert np.asarray(exp.call(pts)).shape == (2, 6)
+        dst = str(tmp_path / "xplat.actx")
+        ex.save_exported(exp, dst, meta={})
+        fn = ex.load_exported(dst)
+        np.testing.assert_array_equal(np.asarray(fn(pts)),
+                                      np.asarray(exp.call(pts)))
+
     def test_features_export(self, rng):
         """Pretrain embedding extractor (SVM-probe forward): symbolic batch,
         FPS engages when n_in != npoints, matches the direct noaug apply."""
