@@ -139,6 +139,11 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # 1-D params stay f32; trainable prompts/proj/pos untouched)
         variables = {**variables, "params": engine_builder.cast_frozen_bf16(
             variables["params"], ["visual_embed']['blocks_"])}
+    # TP weight shardings over the 'model' axis (no-op replication at
+    # --mesh_model_parallel 1) — BEFORE optimizer init so moments inherit
+    from act_tpu.parallel.tp import shard_params_tp
+    variables = {**variables,
+                 "params": shard_params_tp(variables["params"], mesh)}
     tx, schedule = engine_builder.build_optimizer(
         config, variables["params"], steps_per_epoch,
         trainable if frozen else None)
@@ -151,6 +156,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
         state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
         if best:
             best_metrics = Metrics(config.consider_metric, best)
+        # restored arrays are host numpy — re-apply the TP shardings
+        state = state.replace(params=shard_params_tp(state.params, mesh))
 
     train_step = make_autoencoder_step(model, transform_fn=None, mesh=mesh,
                                    trainable_mask=trainable if frozen else None)

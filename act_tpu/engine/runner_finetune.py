@@ -47,7 +47,7 @@ def _apply_smoke(config):
     return config
 
 
-def build_state(args, config, logger, steps_per_epoch):
+def build_state(args, config, logger, steps_per_epoch, mesh=None):
     model = MODELS.build(config.model)
     npoints = int(config.npoints)
     root_key = set_random_seed(args.seed)  # rank-shifted: data/augment streams
@@ -57,6 +57,13 @@ def build_state(args, config, logger, steps_per_epoch):
     init_rngs = dict(params=init_key, mask=init_key, dropout=init_key,
                      droppath=init_key)
     variables = jax.jit(lambda: model.init(init_rngs, sample))()
+
+    if mesh is not None:
+        # TP weight shardings over the 'model' axis (no-op replication at
+        # model_parallel=1) — BEFORE optimizer init so moments inherit them
+        from act_tpu.parallel.tp import shard_params_tp
+        variables = {**variables,
+                     "params": shard_params_tp(variables["params"], mesh)}
 
     transfer = config.model.get("transfer_type", "full")
     trainable = trainable_mask(variables["params"], transfer)
@@ -76,6 +83,11 @@ def build_state(args, config, logger, steps_per_epoch):
             args.ckpts, logger=logger, tag="FINETUNE")
         state = state.replace(params=merged["params"],
                               batch_stats=merged["batch_stats"])
+        if mesh is not None:
+            # merged arrays are host numpy — re-apply the TP shardings
+            from act_tpu.parallel.tp import shard_params_tp
+            state = state.replace(
+                params=shard_params_tp(state.params, mesh))
     return model, state, schedule, root_key, frozen_mask, bnm
 
 
@@ -98,7 +110,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     steps_per_epoch = max(len(train_loader), 1)
 
     model, state, schedule, root_key, frozen_mask, bnm = build_state(
-        args, config, logger, steps_per_epoch)
+        args, config, logger, steps_per_epoch, mesh=mesh)
 
     def train_transform(key, pts):
         k1, k2 = jax.random.split(key)

@@ -178,6 +178,10 @@ def run_partseg(args, logger=None):
     steps_per_epoch = max(len(train_loader), 1)
     state, schedule = _make_state(model, variables, args, steps_per_epoch)
     state = replicate(mesh, state)
+    # TP weight shardings over the 'model' axis (plain replication at
+    # --mesh_model_parallel 1; optimizer moments reshard lazily via GSPMD)
+    from act_tpu.parallel.tp import shard_params_tp
+    state = state.replace(params=shard_params_tp(state.params, mesh))
 
     def train_step(state, pts, one_hot, seg, key):
         sh = NamedSharding(mesh, P(DATA_AXIS))
@@ -269,6 +273,10 @@ def run_semseg(args, logger=None):
     steps_per_epoch = max(len(train_loader), 1)
     state, schedule = _make_state(model, variables, args, steps_per_epoch)
     state = replicate(mesh, state)
+    # TP weight shardings over the 'model' axis (plain replication at
+    # --mesh_model_parallel 1; optimizer moments reshard lazily via GSPMD)
+    from act_tpu.parallel.tp import shard_params_tp
+    state = state.replace(params=shard_params_tp(state.params, mesh))
 
     def train_step(state, pts, seg, key):
         sh = NamedSharding(mesh, P(DATA_AXIS))

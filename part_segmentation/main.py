@@ -26,6 +26,8 @@ def parse_args():
                         default="data/shapenetcore_partanno_segmentation_benchmark_v0_normal")
     parser.add_argument("--num_group", type=int, default=128)
     parser.add_argument("--smoke", action="store_true")
+    parser.add_argument("--mesh_model_parallel", type=int, default=1,
+                        help="tensor-parallel mesh axis (like main.py)")
     return parser.parse_args()
 
 

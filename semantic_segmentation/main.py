@@ -19,6 +19,8 @@ def parse_args():
     parser.add_argument("--root", type=str, default="data/stanford_indoor3d")
     parser.add_argument("--num_group", type=int, default=128)
     parser.add_argument("--smoke", action="store_true")
+    parser.add_argument("--mesh_model_parallel", type=int, default=1,
+                        help="tensor-parallel mesh axis (like main.py)")
     return parser.parse_args()
 
 

@@ -321,6 +321,34 @@ class TestMultiStep:
 
 
 class TestTensorParallel:
+    def test_runner_build_state_applies_tp(self):
+        """--mesh_model_parallel reaches the finetune runner's build_state:
+        qkv/fc1 kernels come out sharded on the 'model' axis (regression:
+        only the pretrain runner used to call shard_params_tp)."""
+        import types
+        from act_tpu.parallel import make_mesh
+        from act_tpu.engine.runner_finetune import build_state
+        from act_tpu.utils.config import ConfigDict
+        args = types.SimpleNamespace(seed=0, ckpts=None, resume=False,
+                                     log_name=None)
+        cfg = ConfigDict(dict(
+            model=ConfigDict(dict(
+                NAME="PointTransformer", embed_dim=32, depth=2,
+                drop_path_rate=0.0, cls_dim=6, num_heads=4, group_size=8,
+                num_group=16, encoder_dims=32, transfer_type="full")),
+            npoints=128,
+            optimizer=dict(type="AdamW", kwargs=dict(lr=1e-3,
+                                                     weight_decay=0.05)),
+            scheduler=dict(type="CosLR", kwargs=dict(epochs=10,
+                                                     initial_epochs=1)),
+            step_per_update=1))
+        mesh = make_mesh(model_parallel=2)
+        _, state, *_ = build_state(args, cfg, None, 10, mesh=mesh)
+        qkv = state.params["blocks"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        fc2 = state.params["blocks"]["blocks_0"]["mlp"]["fc2"]["kernel"]
+        assert tuple(qkv.sharding.spec) == (None, "model")
+        assert tuple(fc2.sharding.spec) == ("model", None)
+
     def test_tp_step_on_2d_mesh(self):
         """Real TP: megatron MLP shardings over the 'model' axis compile,
         execute a train step, and survive the optimizer update (GSPMD
