@@ -33,10 +33,12 @@ MAGIC = "act-tpu-export-v1"
 
 
 def load_variables(config, ckpt_path: Optional[str], seed: int = 0,
-                   logger=None):
+                   logger=None, strip: bool = True):
     """Init the model and merge a checkpoint through the shared load path
     (checkpoint.merge_checkpoint_into — the same one the finetune/t-SNE
-    runners use, so exported weights cannot drift from what --test saw)."""
+    runners use, so exported weights cannot drift from what --test saw).
+    ``strip=False`` when the target model itself roots the student at
+    ACT_encoder/* (the pretrain feature-extractor export)."""
     from act_tpu.engine import checkpoint as ckpt_lib
 
     model = MODELS.build(config.model)
@@ -48,8 +50,8 @@ def load_variables(config, ckpt_path: Optional[str], seed: int = 0,
     variables = jax.device_get(variables)
 
     if ckpt_path:
-        variables = ckpt_lib.merge_checkpoint_into(variables, ckpt_path,
-                                                   logger=logger, tag="EXPORT")
+        variables = ckpt_lib.merge_checkpoint_into(
+            variables, ckpt_path, logger=logger, tag="EXPORT", strip=strip)
     return model, variables
 
 
@@ -115,18 +117,11 @@ def export_features(config, ckpt_path: Optional[str] = None,
     optional FPS resample + noaug eval). The checkpoint loads WITHOUT the
     student-prefix strip: the pretrain model itself roots the student at
     ACT_encoder/*."""
-    from act_tpu.engine import checkpoint as ckpt_lib
-
-    model = MODELS.build(config.model)
+    model, variables = load_variables(config, ckpt_path, seed=seed,
+                                      logger=logger, strip=False)
     npoints = int(config.npoints)
     n_in = int(n_in or npoints)
     key = jax.random.PRNGKey(seed)
-    rngs = dict(params=key, mask=key, dropout=key, droppath=key, gumbel=key)
-    variables = jax.device_get(jax.jit(lambda: model.init(
-        rngs, jnp.zeros((2, npoints, 3), jnp.float32)))())
-    if ckpt_path:
-        variables = ckpt_lib.merge_checkpoint_into(
-            variables, ckpt_path, logger=logger, tag="EXPORT", strip=False)
 
     def feats(pts):
         if n_in != npoints:

@@ -131,6 +131,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
         state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
         if best:
             best_metrics = AccMetric(best.get("acc", 0.0))
+        # restored arrays are host numpy — re-apply the TP shardings
+        # (like runner_pretrain/autoencoder do on their resume paths)
+        from act_tpu.parallel.tp import shard_params_tp
+        state = state.replace(params=shard_params_tp(state.params, mesh))
 
     max_steps = 2 if smoke else None
     for epoch in range(start_epoch, int(config.max_epoch)):
@@ -262,10 +266,13 @@ def test_net(args, config):
     smoke = bool(getattr(args, "smoke", False))
     if smoke:
         config = _apply_smoke(config)
+    mesh = make_mesh(model_parallel=getattr(args, "mesh_model_parallel", 1))
+    set_default_kernel_mesh(mesh)
     npoints = int(config.npoints)
     config.dataset.test.others.bs = config.total_bs * 2
     _, test_loader = engine_builder.dataset_builder(args, config.dataset.test)
-    model, state, schedule, root_key, _, _ = build_state(args, config, logger, 1)
+    model, state, schedule, root_key, _, _ = build_state(args, config, logger,
+                                                         1, mesh=mesh)
 
     @jax.jit
     def infer_step(variables, pts):

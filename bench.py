@@ -132,9 +132,13 @@ def main():
             err = (out.stderr or "")[-300:]
         except subprocess.TimeoutExpired:
             err = "timeout (tunnel hang?)"
-        print(f"# bench attempt {attempt + 1} failed: {err}; retrying in 60s",
-              file=sys.stderr)
-        time.sleep(60)
+        if attempt < 2:
+            print(f"# bench attempt {attempt + 1} failed: {err}; "
+                  f"retrying in 60s", file=sys.stderr)
+            time.sleep(60)
+        else:
+            print(f"# bench attempt {attempt + 1} failed: {err}; giving up",
+                  file=sys.stderr)
     try:
         cpu = cpu_baseline()
         vs = value / (5.0 * cpu) if value is not None else None

@@ -335,7 +335,8 @@ class TestTensorParallel:
             model=ConfigDict(dict(
                 NAME="PointTransformer", embed_dim=32, depth=2,
                 drop_path_rate=0.0, cls_dim=6, num_heads=4, group_size=8,
-                num_group=16, encoder_dims=32, transfer_type="full")),
+                num_group=16, encoder_dims=32, transfer_type="full",
+                scan=False)),  # pin the layout against ACT_TPU_SCAN leaks
             npoints=128,
             optimizer=dict(type="AdamW", kwargs=dict(lr=1e-3,
                                                      weight_decay=0.05)),

@@ -55,10 +55,14 @@ def cmd_export(args):
         exp = ex.export_dvae_recon(config, ckpt_path=args.ckpts, batch=batch,
                                    platforms=platforms, seed=args.seed)
         n_in = int(config.npoints)
-    ex.save_exported(exp, args.dst, meta={
-        "config": args.config, "ckpts": args.ckpts, "kind": args.kind,
-        "npoints": int(config.npoints), "n_in": n_in,
-        "with_fps": not args.no_fps})
+    meta = {"config": args.config, "ckpts": args.ckpts, "kind": args.kind,
+            "npoints": int(config.npoints), "n_in": n_in}
+    if args.kind == "classifier":
+        meta["with_fps"] = not args.no_fps
+    elif args.kind == "features":
+        # features always FPS-resample when n_in != npoints (--no-fps n/a)
+        meta["with_fps"] = n_in != int(config.npoints)
+    ex.save_exported(exp, args.dst, meta=meta)
     print(f"wrote {args.dst} (+.json); input {exp.in_avals[0].shape} -> "
           f"output {exp.out_avals[0].shape}; platforms {list(exp.platforms)}")
 

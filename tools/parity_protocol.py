@@ -220,11 +220,19 @@ def _run_fewshot_protocol(task: str, ckpt_pth: str, data_root: str = None,
         if data_root:
             _rewrite_data_root(config, data_root)
         runner_finetune.run_net(args, config)
-        payload = ckpt_lib.load_checkpoint(
-            os.path.join(args.experiment_path, "ckpt-best"))
+        best_path = os.path.join(args.experiment_path, "ckpt-best")
+        if not os.path.exists(best_path):
+            # a degenerate fold that never beat OA 0 must not abort the
+            # other folds' hours of finetuning — report and move on
+            print(f"[PARITY] fold {fold}: no ckpt-best written (degenerate "
+                  f"run?) — skipping this fold")
+            continue
+        payload = ckpt_lib.load_checkpoint(best_path)
         accs.append(float(payload["best_metrics"]["acc"]))
         print(f"[PARITY] fold {fold}: best OA {accs[-1]:.2f}")
 
+    if not accs:
+        raise SystemExit("[PARITY] every fold failed to produce a ckpt-best")
     ours, std = float(np.mean(accs)), float(np.std(accs))
     delta = ours - zoo
     return {"task": task, "config": FEWSHOT_CFG, "zoo_acc": zoo,
