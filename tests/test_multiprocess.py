@@ -74,7 +74,54 @@ with mesh:
     # loss is fully replicated across the global mesh -> locally addressable
     loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
-print(f"proc {jax.process_index()}: distributed step OK loss={loss:.4f}")
+
+# 4) finetune step on the same global mesh
+from act_tpu.engine.train_state import make_finetune_step
+fcfg = ConfigDict(dict(
+    NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.0,
+    cls_dim=6, num_heads=4, group_size=8, num_group=16, encoder_dims=32,
+    transfer_type="full", scan=False))
+fmodel = MODELS.build(fcfg)
+fkey = jax.random.PRNGKey(0)
+fpts_local = jnp.asarray(np.random.default_rng(
+    10 + jax.process_index()).normal(size=(4, 64, 3)), jnp.float32)
+fvars = jax.jit(lambda: fmodel.init(
+    dict(params=fkey, dropout=fkey, droppath=fkey), fpts_local))()
+ftx, _ = build_optimizer(tcfg, fvars["params"], 4, None)
+# the step donates the state, deleting fvars' device arrays — snapshot for
+# the TP leg first
+fparams_host = jax.device_get(fvars["params"])
+fbs_host = jax.device_get(fvars.get("batch_stats", {}))
+fstate = TrainState.create(fvars, ftx)
+fpts = shard_batch(mesh, fpts_local)
+flabels = shard_batch(mesh, jnp.zeros((4,), jnp.int32))
+fstep = make_finetune_step(fmodel, mesh=mesh)
+with mesh:
+    fstate, fmetrics = fstep(fstate, fpts, flabels, jax.random.PRNGKey(1))
+    floss = float(fmetrics["loss"])
+assert np.isfinite(floss), floss
+
+# 5) CROSS-PROCESS tensor parallelism: ('data'=2, 'model'=2) spans both
+# hosts; the TP weight shards live on different processes and survive the
+# optimizer update
+from act_tpu.parallel.tp import shard_params_tp
+mesh2 = make_mesh(model_parallel=2)
+tvars = {"params": shard_params_tp(fparams_host, mesh2),
+         "batch_stats": fbs_host}
+ttx, _ = build_optimizer(tcfg, tvars["params"], 4, None)
+tstate = TrainState.create(tvars, ttx)
+tpts = shard_batch(mesh2, fpts_local)
+tlabels = shard_batch(mesh2, jnp.zeros((4,), jnp.int32))
+tstep = make_finetune_step(fmodel, mesh=mesh2)
+with mesh2:
+    tstate, tmetrics = tstep(tstate, tpts, tlabels, jax.random.PRNGKey(2))
+    tloss = float(tmetrics["loss"])
+assert np.isfinite(tloss), tloss
+qkv = tstate.params["blocks"]["blocks_0"]["attn"]["qkv"]["kernel"]
+assert "model" in str(qkv.sharding.spec), qkv.sharding.spec
+
+print(f"proc {jax.process_index()}: distributed step OK loss={loss:.4f} "
+      f"finetune={floss:.4f} tp={tloss:.4f}")
 """
 
 
