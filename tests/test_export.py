@@ -147,6 +147,48 @@ class TestExportClassifier:
         np.testing.assert_allclose(got, np.asarray(jax.jit(direct)(pts)),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_http_server(self, rng, tmp_path):
+        """tools/serve_http.py: /predict runs the artifact, /healthz reports
+        the sidecar meta, malformed input is a 400 not a crash."""
+        import http.client
+        import threading
+        from act_tpu.engine import export as ex
+        from tools.serve_http import serve
+
+        config = tiny_config()
+        exp = ex.export_classifier(config, batch=None)
+        dst = str(tmp_path / "m.actx")
+        ex.save_exported(exp, dst, meta={"kind": "classifier", "n_in": 128})
+        server = serve(dst, port=0)  # ephemeral port
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request("GET", "/healthz")
+            h = json.loads(conn.getresponse().read())
+            assert h["ok"] and h["kind"] == "classifier"
+
+            pts = rng.normal(size=(2, 128, 3)).astype(np.float32)
+            conn.request("POST", "/predict",
+                         body=json.dumps({"points": pts.tolist()}),
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.status == 200
+            out = json.loads(r.read())
+            got = np.asarray(out["logits"], np.float32)
+            assert got.shape == (2, 6)
+            np.testing.assert_allclose(
+                got, np.asarray(exp.call(jnp.asarray(pts))), rtol=1e-4,
+                atol=1e-4)
+            assert out["argmax"] == got.argmax(-1).tolist()
+
+            conn.request("POST", "/predict",
+                         body=json.dumps({"points": [[1.0, 2.0]]}))
+            assert conn.getresponse().status == 400
+        finally:
+            server.shutdown()
+
     @pytest.mark.slow
     def test_cli_end_to_end(self, tmp_path):
         import subprocess
