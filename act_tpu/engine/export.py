@@ -132,6 +132,27 @@ def export_features(config, ckpt_path: Optional[str] = None,
     return _export_point_fn(feats, n_in, batch, platforms)
 
 
+def export_dvae_tokenize(config, ckpt_path: Optional[str] = None,
+                         batch: Optional[int] = None,
+                         platforms: Optional[Sequence[str]] = None,
+                         seed: int = 0, logger=None) -> "jexport.Exported":
+    """Discrete tokenizer: (B, npoints, 3) cloud -> (B, G) int32 codebook
+    ids — the deterministic argmax labels (dvae.forward_tokenizer, reference
+    dvae.py:578-582). The encode half of the codec; useful for preparing
+    BERT-style token targets offline."""
+    model, variables = load_variables(config, ckpt_path, seed=seed,
+                                      logger=logger)
+    n_in = int(config.npoints)
+    num_group = int(config.model.num_group)
+    group_size = int(config.model.group_size)
+
+    def tokenize(pts):
+        nbr, center = ops.group_points(pts, num_group, group_size)
+        return model.apply(variables, nbr, center,
+                           method=model.forward_tokenizer)
+    return _export_point_fn(tokenize, n_in, batch, platforms)
+
+
 def export_dvae_recon(config, ckpt_path: Optional[str] = None,
                       batch: Optional[int] = None,
                       platforms: Optional[Sequence[str]] = None,

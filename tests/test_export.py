@@ -147,6 +147,24 @@ class TestExportClassifier:
         np.testing.assert_allclose(got, np.asarray(jax.jit(direct)(pts)),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_dvae_tokenize_export(self, rng):
+        """Tokenizer export: (B, N, 3) -> (B, G) int codebook ids matching
+        the direct forward_tokenizer path."""
+        from act_tpu.engine import export as ex
+        from act_tpu import ops as aops
+        from tests.test_models import tiny_dvae_cfg
+        config = ConfigDict(dict(model=tiny_dvae_cfg(NAME="DiscreteVAE"),
+                                 npoints=128))
+        exp = ex.export_dvae_tokenize(config, batch=None)
+        model, variables = ex.load_variables(config, None, seed=0)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        got = np.asarray(exp.call(pts))
+        assert got.shape == (2, 16) and np.issubdtype(got.dtype, np.integer)
+        nbr, center = aops.group_points(pts, 16, 8)
+        direct = model.apply(variables, nbr, center,
+                             method=model.forward_tokenizer)
+        np.testing.assert_array_equal(got, np.asarray(direct))
+
     def test_http_server(self, rng, tmp_path):
         """tools/serve_http.py: /predict runs the artifact, /healthz reports
         the sidecar meta, malformed input is a 400 not a crash."""

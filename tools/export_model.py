@@ -33,7 +33,7 @@ def cmd_export(args):
         # reuse the runners' smoke shrinks so the tiny dims stay consistent
         if args.kind == "classifier":
             from act_tpu.engine.runner_finetune import _apply_smoke
-        elif args.kind == "dvae":
+        elif args.kind in ("dvae", "tokenize"):
             from act_tpu.engine.runner_autoencoder import _apply_smoke
         else:
             from act_tpu.engine.runner_pretrain import _apply_smoke
@@ -51,6 +51,11 @@ def cmd_export(args):
                                  n_in=args.n_in, platforms=platforms,
                                  seed=args.seed)
         n_in = int(args.n_in or config.npoints)
+    elif args.kind == "tokenize":
+        exp = ex.export_dvae_tokenize(config, ckpt_path=args.ckpts,
+                                      batch=batch, platforms=platforms,
+                                      seed=args.seed)
+        n_in = int(config.npoints)
     else:
         exp = ex.export_dvae_recon(config, ckpt_path=args.ckpts, batch=batch,
                                    platforms=platforms, seed=args.seed)
@@ -87,6 +92,9 @@ def cmd_run(args):
     elif kind == "features":
         print(f"features {out.shape}  finite={bool(np.isfinite(out).all())}  "
               f"({dt:.2f}s incl. compile)")
+    elif kind == "tokenize":
+        print(f"tokens {out.shape}  vocab-range=[{out.min()}, {out.max()}]  "
+              f"({dt:.2f}s incl. compile)")
     else:  # dvae reconstruction cloud
         print(f"recon {out.shape}  finite={bool(np.isfinite(out).all())}  "
               f"({dt:.2f}s incl. compile)")
@@ -99,10 +107,10 @@ def main():
     e = sub.add_parser("export")
     e.add_argument("--config", required=True)
     e.add_argument("--kind", default="classifier",
-                   choices=["classifier", "features", "dvae"],
+                   choices=["classifier", "features", "tokenize", "dvae"],
                    help="classifier logits, pretrain embedding features "
-                        "(SVM-probe forward), or the Stage-I dVAE "
-                        "reconstruction forward")
+                        "(SVM-probe forward), discrete dVAE codebook ids, "
+                        "or the Stage-I dVAE reconstruction forward")
     e.add_argument("--ckpts", default=None, help="orbax checkpoint dir")
     e.add_argument("--dst", required=True)
     e.add_argument("--batch", default="sym",
