@@ -2,8 +2,9 @@
 
 The PyTorch reference has no deployment story: serving a finetuned
 PointTransformer means dragging the whole training repo (model code, CUDA
-extensions, .pth checkpoints) into the serving image. Here the eval forward —
-optional FPS resample + classifier — is jitted, lowered, and serialized with
+extensions, .pth checkpoints) into the serving image. Here an eval forward —
+classifier logits, pretrain embedding features, discrete dVAE codebook ids,
+or the Stage-I reconstruction — is jitted, lowered, and serialized with
 ``jax.export`` into a single self-contained StableHLO artifact: weights are
 baked in as constants, the batch dimension can stay symbolic, and the artifact
 reloads anywhere jax runs (CPU or TPU) with no model code, config, or
@@ -22,7 +23,6 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import export as jexport
 
 from act_tpu import ops
@@ -185,7 +185,8 @@ def save_exported(exp: "jexport.Exported", dst: str, meta: dict) -> None:
 
 
 def load_exported(src: str):
-    """Deserialize an artifact; returns a callable (B, N, 3) -> logits."""
+    """Deserialize an artifact; returns a callable (B, N, 3) -> output
+    (logits / features / token ids / reconstruction, per the export kind)."""
     with open(src, "rb") as f:
         exp = jexport.deserialize(bytearray(f.read()))
 
