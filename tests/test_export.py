@@ -228,3 +228,33 @@ class TestExportClassifier:
             env=env)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "logits (3," in r.stdout
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("kind,config,marker", [
+        ("features", "cfgs/pretrain/pretrain_act_distill.yaml", "features (2,"),
+        ("tokenize",
+         "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
+         "tokens (2,"),
+        ("dvae",
+         "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
+         "recon (2,"),
+    ])
+    def test_cli_other_kinds(self, tmp_path, kind, config, marker):
+        """Every export kind works through the real CLI (export + run)."""
+        import subprocess
+        import sys as _sys
+        dst = str(tmp_path / f"{kind}.actx")
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        r = subprocess.run(
+            [_sys.executable, "tools/export_model.py", "export", "--config",
+             config, "--kind", kind, "--dst", dst, "--smoke"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=420,
+            env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = subprocess.run(
+            [_sys.executable, "tools/export_model.py", "run", "--src", dst,
+             "--batch", "2"],
+            cwd="/root/repo", capture_output=True, text=True, timeout=420,
+            env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert marker in r.stdout, r.stdout[-400:]
