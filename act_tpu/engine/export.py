@@ -10,11 +10,12 @@ baked in as constants, the batch dimension can stay symbolic, and the artifact
 reloads anywhere jax runs (CPU or TPU) with no model code, config, or
 checkpoint on the serving side.
 
-Portability note: exported on a CPU host (or with ``ACT_TPU_PALLAS=off``) the
-graph traces the pure-XLA reference ops — portable across platforms listed in
-``platforms``. Exported on the TPU backend the Pallas kernels appear as
-``tpu_custom_call``s: faster, but the artifact is TPU-only and its stability
-across runtime versions is not guaranteed (the export is tagged accordingly).
+Portability note: symbolic-batch and cross-platform exports always trace the
+pure-XLA reference ops (the Pallas kernels' tiling math needs concrete shapes,
+and a ``tpu_custom_call`` is not portable) — such artifacts run anywhere.
+Only a fixed-batch, TPU-only export from a TPU host keeps the native Pallas
+kernels: faster, but its stability across runtime versions is not guaranteed
+(the export is tagged accordingly).
 """
 from __future__ import annotations
 
@@ -27,7 +28,7 @@ from jax import export as jexport
 
 from act_tpu import ops
 from act_tpu.models import MODELS
-from act_tpu.ops._backend import pallas_mode
+from act_tpu.ops._backend import pallas_mode, pallas_override
 
 MAGIC = "act-tpu-export-v1"
 
@@ -80,15 +81,21 @@ def _export_point_fn(infer, n_in: int, batch: Optional[int],
         shape = (int(batch), n_in, 3)
     spec = jax.ShapeDtypeStruct(shape, jnp.float32)
 
-    disabled = ()
-    if pallas_mode() == "tpu":
+    # Symbolic-batch exports must trace the pure-XLA reference ops (the
+    # Pallas kernels' tiling math needs concrete batch sizes), and so must
+    # cross-platform artifacts (tpu_custom_call is not portable) and
+    # interpret-mode hosts (a debugging device, not a serving path).
+    cross = platforms is not None and set(platforms) != {"tpu"}
+    keep_pallas = (pallas_mode() == "tpu" and batch is not None and not cross)
+
+    if keep_pallas:
         # Pallas kernels serialize as tpu_custom_calls; opt out of the
-        # stability guarantee explicitly (see module docstring). Interpret
-        # mode and CPU trace the portable pure-XLA paths instead.
-        disabled = (jexport.DisabledSafetyCheck.custom_call(
-            "tpu_custom_call"),)
-    return jexport.export(jax.jit(infer), platforms=platforms,
-                          disabled_checks=list(disabled))(spec)
+        # stability guarantee explicitly (see module docstring).
+        disabled = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+        return jexport.export(jax.jit(infer), platforms=platforms,
+                              disabled_checks=disabled)(spec)
+    with pallas_override("off"):
+        return jexport.export(jax.jit(infer), platforms=platforms)(spec)
 
 
 def export_classifier(config, ckpt_path: Optional[str] = None,

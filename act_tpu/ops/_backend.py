@@ -6,6 +6,7 @@ Pallas kernels through the interpreter so their logic is unit-testable off-TPU.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -27,6 +28,24 @@ def use_pallas() -> bool:
     return pallas_mode() != "off"
 
 
+@contextlib.contextmanager
+def pallas_override(mode: str):
+    """Scope ``ACT_TPU_PALLAS`` to ``mode`` ('off'/'interpret') while tracing.
+
+    Used by export (engine/export.py): symbolic-shape and cross-platform
+    artifacts must trace the pure-XLA reference ops. Only affects functions
+    traced inside the scope — already-compiled programs are untouched."""
+    old = os.environ.get("ACT_TPU_PALLAS")
+    os.environ["ACT_TPU_PALLAS"] = mode
+    try:
+        yield
+    finally:
+        if old is None:
+            os.environ.pop("ACT_TPU_PALLAS", None)
+        else:
+            os.environ["ACT_TPU_PALLAS"] = old
+
+
 def interpret_flag() -> bool:
     return pallas_mode() == "interpret"
 
@@ -46,8 +65,6 @@ def round_up(x: int, m: int) -> int:
 # 'data' axis — each chip runs its own shard, no collectives. Single-device
 # meshes (and the CPU reference paths) are unaffected.
 # ---------------------------------------------------------------------------
-
-import contextlib
 
 _MESH_STACK = [None]
 

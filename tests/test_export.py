@@ -165,6 +165,24 @@ class TestExportClassifier:
                              method=model.forward_tokenizer)
         np.testing.assert_array_equal(got, np.asarray(direct))
 
+    def test_symbolic_export_forces_xla_path(self, rng, monkeypatch):
+        """From a Pallas-enabled host (real TPU, or interpret mode here) a
+        symbolic-batch export must trace the pure-XLA reference ops — the
+        Pallas kernels' tiling math needs concrete batch sizes (regression:
+        InconclusiveDimensionOperation on a real-TPU host, 2026-08-18)."""
+        from act_tpu.engine import export as ex
+        monkeypatch.setenv("ACT_TPU_PALLAS", "interpret")
+        config = tiny_config()
+        exp = ex.export_classifier(config, batch=None, n_in=160)
+        # env restored for the comparison trace below by computing it eagerly
+        monkeypatch.setenv("ACT_TPU_PALLAS", "off")
+        model, variables = ex.load_variables(config, None, seed=0)
+        infer = ex.build_infer_fn(model, variables, int(config.npoints))
+        pts = jnp.asarray(rng.normal(size=(3, 160, 3)).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(exp.call(pts)),
+                                   np.asarray(jax.jit(infer)(pts)),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_http_server(self, rng, tmp_path):
         """tools/serve_http.py: /predict runs the artifact, /healthz reports
         the sidecar meta, malformed input is a 400 not a crash."""
