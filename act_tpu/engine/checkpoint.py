@@ -9,6 +9,7 @@ ckpt-epoch-NNN inside the experiment dir; save happens on process 0 only. A
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -22,10 +23,40 @@ def _ckpt_path(experiment_path: str, name: str) -> str:
     return os.path.abspath(os.path.join(experiment_path, name))
 
 
+# One in-flight background write at a time: the serialization + disk IO of a
+# checkpoint (seconds for a full TrainState) overlaps with the next training
+# epoch instead of stalling it (the reference's torch.save blocks the loop,
+# tools/runner_pretrain.py via builder.save_checkpoint). The device->host
+# fetch stays synchronous in save_checkpoint: the train step donates the
+# TrainState buffers (donate_argnums), so they must be read before the runner
+# dispatches another step.
+_pending_lock = threading.Lock()
+_pending: list = []  # [thread] of at most one
+_write_error: list = []  # first exception raised by a background write
+
+
+def wait_for_pending_saves():
+    """Block until the in-flight checkpoint write (if any) is durable.
+
+    Re-raises an exception from the background writer, so a failed save
+    cannot pass silently. Called automatically before every save/restore;
+    non-daemon threads also drain at interpreter exit."""
+    with _pending_lock:
+        pending = list(_pending)
+        _pending.clear()
+    for t in pending:
+        t.join()
+    if _write_error:
+        raise _write_error.pop()
+
+
 def save_checkpoint(state, epoch: int, metrics: Optional[Dict],
                     best_metrics: Optional[Dict], prefix: str,
-                    args, logger=None):
-    """prefix: 'ckpt-last' / 'ckpt-best' / 'ckpt-epoch-NNN'."""
+                    args, logger=None, block: bool = False):
+    """prefix: 'ckpt-last' / 'ckpt-best' / 'ckpt-epoch-NNN'.
+
+    The write happens on a background thread (see wait_for_pending_saves);
+    pass ``block=True`` to return only once the checkpoint is on disk."""
     if jax.process_index() != 0:
         return
     path = _ckpt_path(args.experiment_path, prefix)
@@ -39,12 +70,26 @@ def save_checkpoint(state, epoch: int, metrics: Optional[Dict],
         "metrics": dict(metrics or {}),
         "best_metrics": dict(best_metrics or {}),
     }
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
-    print_log(f"Saved checkpoint at {path}", logger=logger)
+    wait_for_pending_saves()  # one write in flight; same-path overwrite safe
+
+    def _write():
+        try:
+            ocp.PyTreeCheckpointer().save(path, payload, force=True)
+            print_log(f"Saved checkpoint at {path}", logger=logger)
+        except BaseException as e:  # surfaced by the next wait/save
+            _write_error.append(e)
+
+    t = threading.Thread(target=_write, name=f"ckpt-write-{prefix}",
+                         daemon=False)
+    with _pending_lock:
+        _pending.append(t)
+    t.start()
+    if block:
+        wait_for_pending_saves()
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    wait_for_pending_saves()
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(os.path.abspath(path))
 
@@ -52,6 +97,7 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 def resume_state(state, args, logger=None):
     """Reload ckpt-last + epoch + best metrics (reference resume_model,
     tools/builder.py:97-131). Returns (state, start_epoch, best_metrics)."""
+    wait_for_pending_saves()  # an in-flight write is invisible to exists()
     path = _ckpt_path(args.experiment_path, "ckpt-last")
     if not os.path.exists(path):
         print_log(f"[RESUME] no checkpoint at {path}", logger=logger)

@@ -210,6 +210,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
             state, epoch, None,
             best_metrics.state_dict() if best_metrics else None,
             "ckpt-last", args, logger)
+    ckpt_lib.wait_for_pending_saves()  # async writes durable before return
     return state
 
 

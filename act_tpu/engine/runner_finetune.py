@@ -182,6 +182,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                              "ckpt-best_vote", args, logger)
         ckpt_lib.save_checkpoint(state, epoch, None, best_metrics.state_dict(),
                                  "ckpt-last", args, logger)
+    ckpt_lib.wait_for_pending_saves()  # async writes durable before return
     return state
 
 

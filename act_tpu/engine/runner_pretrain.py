@@ -321,6 +321,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
             ckpt_lib.save_checkpoint(state, epoch, None,
                                      best_metrics.state_dict(),
                                      f"ckpt-epoch-{epoch:03d}", args, logger)
+    ckpt_lib.wait_for_pending_saves()  # async writes durable before return
     trace.close()
     return state
 

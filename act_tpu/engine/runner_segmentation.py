@@ -233,6 +233,7 @@ def run_partseg(args, logger=None):
             ckpt_lib.save_checkpoint(state, epoch, metrics,
                                      {"ins_miou": best_ins_miou},
                                      "ckpt-best", args, logger)
+    ckpt_lib.wait_for_pending_saves()  # async writes durable before return
     print_log(f"[PartSeg] best instance mIoU = {best_ins_miou:.4f}",
               logger=logger)
     return best_ins_miou
@@ -325,6 +326,7 @@ def run_semseg(args, logger=None):
             ckpt_lib.save_checkpoint(state, epoch, metrics,
                                      {"mIoU": best_miou}, "ckpt-best",
                                      args, logger)
+    ckpt_lib.wait_for_pending_saves()  # async writes durable before return
     print_log(f"[SemSeg] best mIoU = {best_miou:.4f}", logger=logger)
     return best_miou, state, model
 

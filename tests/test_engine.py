@@ -141,6 +141,38 @@ class TestCheckpoint:
                                    np.arange(4.0))
         assert best["acc"] == 2.0
 
+    def test_async_save_durable_after_wait(self, tmp_path):
+        """save_checkpoint writes on a background thread; after
+        wait_for_pending_saves the checkpoint is on disk and loadable."""
+        from act_tpu.engine import checkpoint as ckpt_lib
+
+        class A:
+            experiment_path = str(tmp_path)
+        state = TrainState.create({"params": {"w": jnp.arange(3.0)}},
+                                  optax.sgd(1e-2))
+        ckpt_lib.save_checkpoint(state, 1, None, None, "ckpt-last", A())
+        ckpt_lib.wait_for_pending_saves()
+        assert os.path.exists(os.path.join(str(tmp_path), "ckpt-last"))
+        payload = ckpt_lib.load_checkpoint(
+            os.path.join(str(tmp_path), "ckpt-last"))
+        np.testing.assert_allclose(np.asarray(payload["params"]["w"]),
+                                   np.arange(3.0))
+
+    def test_async_save_error_surfaces(self, tmp_path):
+        """A failed background write raises at the next wait (or save) —
+        never silently drops a checkpoint."""
+        from act_tpu.engine import checkpoint as ckpt_lib
+
+        class A:
+            experiment_path = str(tmp_path)
+        state = TrainState.create({"params": {"w": jnp.arange(3.0)}},
+                                  optax.sgd(1e-2))
+        # an unserializable metrics leaf makes the background writer fail
+        ckpt_lib.save_checkpoint(state, 1, {"bad": object()}, None,
+                                 "ckpt-last", A())
+        with pytest.raises(Exception):
+            ckpt_lib.wait_for_pending_saves()
+
     def test_resume_folds_legacy_bias_tree(self, tmp_path):
         """--resume from a pre-bias-fold checkpoint: the conv bias folds into
         the BN running mean and the optimizer moments (whose tree carried the
