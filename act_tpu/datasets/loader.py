@@ -76,6 +76,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_workers = int(num_workers)
         self.epoch = 0
+        self._start_batch = 0  # mid-epoch resume cursor (preemption)
         self._pool = None
 
     def _ensure_pool(self):
@@ -105,8 +106,14 @@ class DataLoader:
         except Exception:
             pass
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, start_batch: int = 0):
+        """``start_batch`` skips the first k batches of this epoch — mid-epoch
+        resume after a preemption checkpoint. The index order is a pure
+        function of (seed, epoch), so the skipped prefix is exactly the set of
+        batches the interrupted run already consumed. __len__ is unaffected
+        (steps-per-epoch schedules stay epoch-global)."""
         self.epoch = epoch
+        self._start_batch = int(start_batch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -132,7 +139,7 @@ class DataLoader:
     def _batches(self) -> Iterator:
         idx = self._indices()
         nb = len(self)
-        for b in range(nb):
+        for b in range(self._start_batch, nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             samples = [self.dataset[int(i)] for i in chunk]
             yield default_collate(samples)
@@ -143,7 +150,7 @@ class DataLoader:
         idx = self._indices()
         nb = len(self)
         chunks = (idx[b * self.batch_size:(b + 1) * self.batch_size]
-                  for b in range(nb))
+                  for b in range(self._start_batch, nb))
         pool = self._ensure_pool()
         window = 2 * self.num_workers + self.prefetch
         pending: deque = deque()

@@ -52,11 +52,14 @@ def wait_for_pending_saves():
 
 def save_checkpoint(state, epoch: int, metrics: Optional[Dict],
                     best_metrics: Optional[Dict], prefix: str,
-                    args, logger=None, block: bool = False):
+                    args, logger=None, block: bool = False,
+                    data_iter: Optional[Dict] = None):
     """prefix: 'ckpt-last' / 'ckpt-best' / 'ckpt-epoch-NNN'.
 
     The write happens on a background thread (see wait_for_pending_saves);
-    pass ``block=True`` to return only once the checkpoint is on disk."""
+    pass ``block=True`` to return only once the checkpoint is on disk.
+    ``data_iter={'next_batch': k}`` marks a MID-epoch (preemption) save:
+    resume restarts epoch ``epoch`` at batch ``k`` instead of epoch+1."""
     if jax.process_index() != 0:
         return
     path = _ckpt_path(args.experiment_path, prefix)
@@ -70,6 +73,8 @@ def save_checkpoint(state, epoch: int, metrics: Optional[Dict],
         "metrics": dict(metrics or {}),
         "best_metrics": dict(best_metrics or {}),
     }
+    if data_iter:
+        payload["data_iter"] = {k: int(v) for k, v in data_iter.items()}
     wait_for_pending_saves()  # one write in flight; same-path overwrite safe
 
     def _write():
@@ -94,14 +99,45 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return ckptr.restore(os.path.abspath(path))
 
 
+def restructure_like(target, loaded):
+    """Rebuild a raw orbax restore (dicts/lists only) into ``target``'s
+    container types. PyTreeCheckpointer.restore without an item template
+    erases NamedTuples — an optax opt_state (ScaleByAdamState, MultiStepsState,
+    MaskedState, ...) comes back as nested dicts keyed by field name, and the
+    first tx.update after resume crashes on ``state.mu``. The target tree
+    (freshly tx.init'd) supplies the containers; the loaded tree supplies the
+    leaves."""
+    if isinstance(target, tuple) and hasattr(target, "_fields"):  # NamedTuple
+        if isinstance(loaded, dict):
+            vals = [restructure_like(getattr(target, f), loaded[f])
+                    for f in target._fields]
+        else:  # some orbax versions store namedtuples positionally
+            vals = [restructure_like(getattr(target, f), loaded[i])
+                    for i, f in enumerate(target._fields)]
+        return type(target)(*vals)
+    if isinstance(target, (tuple, list)):
+        if loaded is None and not target:  # empty containers drop to None
+            return type(target)()
+        return type(target)(restructure_like(t, l)
+                            for t, l in zip(target, loaded))
+    if isinstance(target, dict):
+        if loaded is None and not target:
+            return type(target)()
+        return {k: restructure_like(target[k], loaded[k]) for k in target}
+    return loaded
+
+
 def resume_state(state, args, logger=None):
     """Reload ckpt-last + epoch + best metrics (reference resume_model,
-    tools/builder.py:97-131). Returns (state, start_epoch, best_metrics)."""
+    tools/builder.py:97-131). Returns (state, start_epoch, best_metrics,
+    start_batch) — start_batch > 0 only for a mid-epoch (preemption)
+    checkpoint carrying a data_iter cursor, in which case start_epoch is the
+    INTERRUPTED epoch and iteration resumes at its start_batch-th batch."""
     wait_for_pending_saves()  # an in-flight write is invisible to exists()
     path = _ckpt_path(args.experiment_path, "ckpt-last")
     if not os.path.exists(path):
         print_log(f"[RESUME] no checkpoint at {path}", logger=logger)
-        return state, 0, None
+        return state, 0, None, 0
     payload = load_checkpoint(path)
     params, batch_stats = payload["params"], payload["batch_stats"]
     opt_state = payload["opt_state"]
@@ -128,13 +164,30 @@ def resume_state(state, args, logger=None):
         print_log("[RESUME] legacy pre-bias-fold checkpoint: folded conv "
                   "biases into BN means and REINITIALIZED optimizer moments",
                   logger=logger)
+    else:
+        # raw orbax restore erased the optax NamedTuple containers — rebuild
+        # them from the live opt_state tree (see restructure_like)
+        try:
+            opt_state = restructure_like(state.opt_state, opt_state)
+        except (KeyError, IndexError, TypeError) as e:
+            raise ValueError(
+                f"resume checkpoint at {path}: optimizer state does not match "
+                f"the live optimizer structure ({e!r}) — was it saved with a "
+                "different optimizer config?") from e
     state = state.replace(
         params=params, batch_stats=batch_stats,
         buffers=payload["buffers"], opt_state=opt_state,
         step=payload["step"])
-    start_epoch = int(payload["epoch"]) + 1
-    print_log(f"[RESUME] resumed at epoch {start_epoch}", logger=logger)
-    return state, start_epoch, payload.get("best_metrics")
+    data_iter = payload.get("data_iter") or {}
+    start_batch = int(data_iter.get("next_batch", 0))
+    if start_batch > 0:
+        start_epoch = int(payload["epoch"])  # re-enter the interrupted epoch
+        print_log(f"[RESUME] resumed MID-epoch {start_epoch} at batch "
+                  f"{start_batch} (preemption checkpoint)", logger=logger)
+    else:
+        start_epoch = int(payload["epoch"]) + 1
+        print_log(f"[RESUME] resumed at epoch {start_epoch}", logger=logger)
+    return state, start_epoch, payload.get("best_metrics"), start_batch
 
 
 def load_params_into(state, path: str, logger=None):

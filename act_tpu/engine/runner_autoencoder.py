@@ -150,10 +150,11 @@ def run_net(args, config, train_writer=None, val_writer=None):
     bnm = engine_builder.build_bnm_schedule(config)
     state = TrainState.create(variables, tx)
 
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     best_metrics = None
     if args.resume:
-        state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
+        state, start_epoch, best, start_batch = ckpt_lib.resume_state(
+            state, args, logger)
         if best:
             best_metrics = Metrics(config.consider_metric, best)
         # restored arrays are host numpy — re-apply the TP shardings
@@ -162,10 +163,15 @@ def run_net(args, config, train_writer=None, val_writer=None):
     train_step = make_autoencoder_step(model, transform_fn=None, mesh=mesh,
                                    trainable_mask=trainable if frozen else None)
 
+    from act_tpu.engine.preemption import GUARD
     max_steps = 2 if smoke else None
-    n_itr = start_epoch * steps_per_epoch
+    # n_itr drives the temp/KLD anneals; includes the partial epoch on a
+    # mid-epoch (preemption) resume so the schedules continue seamlessly
+    n_itr = start_epoch * steps_per_epoch + start_batch
     for epoch in range(start_epoch, int(config.max_epoch)):
-        train_loader.set_epoch(epoch)
+        # mid-epoch resume: skip the batches the preempted run consumed
+        train_loader.set_epoch(
+            epoch, start_batch=start_batch if epoch == start_epoch else 0)
         # scheduled BN momentum as a traced rescale ratio (reference
         # BNMomentumScheduler.step(epoch), tools/builder.py:89-93)
         bn_extra = (() if bnm is None else
@@ -181,6 +187,20 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                         jnp.float32(temp), jnp.float32(kldw),
                                         *bn_extra)
             n_itr += 1
+            if GUARD.check(n_itr - start_epoch * steps_per_epoch - start_batch):
+                # graceful preemption: durable mid-epoch ckpt-last with the
+                # data cursor; --resume continues bit-exactly (test_preemption)
+                next_batch = (start_batch if epoch == start_epoch else 0) \
+                    + idx + 1
+                ckpt_lib.save_checkpoint(
+                    state, epoch, None,
+                    best_metrics.state_dict() if best_metrics else None,
+                    "ckpt-last", args, logger, block=True,
+                    data_iter={"epoch": epoch, "next_batch": next_batch})
+                print_log(f"[PREEMPT] saved mid-epoch checkpoint at epoch "
+                          f"{epoch} batch {next_batch}; exiting gracefully",
+                          logger=logger)
+                return state
             meters.update([float(metrics["recon"]) * 1000,
                            float(metrics["kld"]) * 1000])
             if idx % 100 == 0:

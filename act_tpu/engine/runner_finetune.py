@@ -125,10 +125,11 @@ def run_net(args, config, train_writer=None, val_writer=None):
         pts = ops.gather_points(pts, ops.furthest_point_sample(pts, npoints))
         return model.apply(variables, pts)
 
-    start_epoch, best_metrics = 0, AccMetric(0.0)
+    start_epoch, start_batch, best_metrics = 0, 0, AccMetric(0.0)
     vote_fn = None
     if args.resume:
-        state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
+        state, start_epoch, best, start_batch = ckpt_lib.resume_state(
+            state, args, logger)
         if best:
             best_metrics = AccMetric(best.get("acc", 0.0))
         # restored arrays are host numpy — re-apply the TP shardings
@@ -136,9 +137,13 @@ def run_net(args, config, train_writer=None, val_writer=None):
         from act_tpu.parallel.tp import shard_params_tp
         state = state.replace(params=shard_params_tp(state.params, mesh))
 
+    from act_tpu.engine.preemption import GUARD
     max_steps = 2 if smoke else None
+    n_step = 0
     for epoch in range(start_epoch, int(config.max_epoch)):
-        train_loader.set_epoch(epoch)
+        # mid-epoch resume: skip the batches the preempted run consumed
+        train_loader.set_epoch(
+            epoch, start_batch=start_batch if epoch == start_epoch else 0)
         # scheduled BN momentum as a traced rescale ratio (reference
         # BNMomentumScheduler.step(epoch), tools/builder.py:89-93)
         bn_extra = (() if bnm is None else
@@ -150,6 +155,20 @@ def run_net(args, config, train_writer=None, val_writer=None):
             pts = shard_batch(mesh, jnp.asarray(pts))
             label = shard_batch(mesh, jnp.asarray(label))
             state, metrics = train_step(state, pts, label, root_key, *bn_extra)
+            n_step += 1
+            if GUARD.check(n_step):
+                # graceful preemption: durable mid-epoch ckpt-last with the
+                # data cursor; --resume continues bit-exactly (test_preemption)
+                next_batch = (start_batch if epoch == start_epoch else 0) \
+                    + idx + 1
+                ckpt_lib.save_checkpoint(
+                    state, epoch, None, best_metrics.state_dict(),
+                    "ckpt-last", args, logger, block=True,
+                    data_iter={"epoch": epoch, "next_batch": next_batch})
+                print_log(f"[PREEMPT] saved mid-epoch checkpoint at epoch "
+                          f"{epoch} batch {next_batch}; exiting gracefully",
+                          logger=logger)
+                return state
             meters.update([float(metrics["loss"]), float(metrics["acc"])])
             if max_steps and idx + 1 >= max_steps:
                 break

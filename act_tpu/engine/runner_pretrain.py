@@ -190,10 +190,11 @@ def run_net(args, config, train_writer=None, val_writer=None):
     bnm = engine_builder.build_bnm_schedule(config)
     state = TrainState.create(variables, tx)
 
-    start_epoch = 0
+    start_epoch, start_batch = 0, 0
     best_metrics = AccMetric(0.0)
     if args.resume:
-        state, start_epoch, best = ckpt_lib.resume_state(state, args, logger)
+        state, start_epoch, best, start_batch = ckpt_lib.resume_state(
+            state, args, logger)
         if best:
             best_metrics = AccMetric(best.get("acc", 0.0))
     elif getattr(args, "start_ckpts", None):
@@ -247,11 +248,14 @@ def run_net(args, config, train_writer=None, val_writer=None):
               f"{int(config.max_epoch)} epochs, mesh={mesh.shape}", logger=logger)
 
     from act_tpu.utils.profiling import TraceContext
+    from act_tpu.engine.preemption import GUARD
     trace = TraceContext()
     max_steps = 2 if smoke else None
     n_step = 0
     for epoch in range(start_epoch, int(config.max_epoch)):
-        train_loader.set_epoch(epoch)
+        # mid-epoch resume: skip the batches the preempted run consumed
+        train_loader.set_epoch(
+            epoch, start_batch=start_batch if epoch == start_epoch else 0)
         # scheduled BN momentum enters the jitted step as a traced rescale
         # ratio (reference BNMomentumScheduler.step(epoch), builder.py:89-93)
         bn_extra = (() if bnm is None else
@@ -277,6 +281,21 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 state, metrics = train_step(state, pts, root_key, *bn_extra)
                 n_step += 1
             trace.step(n_step)
+            if GUARD.check(n_step):
+                # graceful preemption: durable mid-epoch ckpt-last carrying
+                # the data cursor, then return — --resume continues at the
+                # exact next batch, bit-identically (test_preemption.py)
+                next_batch = (start_batch if epoch == start_epoch else 0) \
+                    + idx + 1
+                ckpt_lib.save_checkpoint(
+                    state, epoch, None, best_metrics.state_dict(),
+                    "ckpt-last", args, logger, block=True,
+                    data_iter={"epoch": epoch, "next_batch": next_batch})
+                print_log(f"[PREEMPT] saved mid-epoch checkpoint at epoch "
+                          f"{epoch} batch {next_batch}; exiting gracefully",
+                          logger=logger)
+                trace.close()
+                return state
             loss = float(metrics["loss"])
             meters.update([loss])
             batch_time.update(time.time() - tic)

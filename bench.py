@@ -117,10 +117,25 @@ def main():
 
     # The axon tunnel can HANG at backend init (observed 2026-08-17), not
     # just raise — measure in a timeout-bounded child and retry, so a dead
-    # tunnel costs minutes, never an indefinitely stalled bench run.
+    # tunnel costs minutes, never an indefinitely stalled bench run. A cheap
+    # trivial-op pre-probe fails each attempt fast (~2 min, not the 45-min
+    # full-bench timeout) when the tunnel is down.
+    def tunnel_alive() -> bool:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((8, 8)); print(float((x @ x).sum()))"],
+                capture_output=True, text=True, timeout=150, env=os.environ)
+            return probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
     value = None
     for attempt in range(3):
         try:
+            if not tunnel_alive():
+                raise subprocess.TimeoutExpired("tunnel-probe", 150)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tpu-probe"],
                 capture_output=True, text=True, timeout=2700, env=os.environ)

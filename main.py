@@ -14,6 +14,10 @@ from act_tpu.parallel import initialize_distributed, process_count, process_inde
 
 def main():
     args = get_args()
+    # graceful preemption: SIGTERM -> mid-epoch checkpoint + clean exit
+    # (runners poll the guard at step boundaries; engine/preemption.py)
+    from act_tpu.engine.preemption import GUARD
+    GUARD.install()
     initialize_distributed()
     args.distributed = process_count() > 1
     args.local_rank = process_index()

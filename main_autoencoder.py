@@ -10,6 +10,9 @@ from act_tpu.parallel import initialize_distributed, process_count, process_inde
 
 def main():
     args = get_args()
+    # graceful preemption: SIGTERM -> mid-epoch checkpoint + clean exit
+    from act_tpu.engine.preemption import GUARD
+    GUARD.install()
     initialize_distributed()
     args.distributed = process_count() > 1
     args.local_rank = process_index()

@@ -135,7 +135,8 @@ class TestCheckpoint:
                                  "ckpt-last", A())
         state2 = TrainState.create(
             {"params": {"w": jnp.zeros(4)}}, tx)
-        state2, epoch, best = ckpt_lib.resume_state(state2, A())
+        state2, epoch, best, start_batch = ckpt_lib.resume_state(state2, A())
+        assert start_batch == 0
         assert epoch == 4
         np.testing.assert_allclose(np.asarray(state2.params["w"]),
                                    np.arange(4.0))
@@ -195,7 +196,7 @@ class TestCheckpoint:
             "kernel": np.zeros((3, 8), np.float32)}}}
         state = TrainState.create({"params": modern_params,
                                    "batch_stats": bs}, tx)
-        state, epoch, _ = ckpt_lib.resume_state(state, A())
+        state, epoch, _, _ = ckpt_lib.resume_state(state, A())
         assert epoch == 6
         assert "bias" not in state.params["encoder"]["conv1"]
         np.testing.assert_allclose(
