@@ -10,7 +10,10 @@ Baseline: the reference publishes no throughput (BASELINE.md); the north star is
 *identical* XLA program is measured once and cached in .bench_cpu_baseline.json;
 ``vs_baseline`` = tpu_throughput / (5 * cpu_throughput) — >= 1.0 meets the target.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} plus
+degradation fields {"last_good", "last_good_ts", "tunnel"} sourced from a
+persisted last-success record (.bench_last_good.json), so a dead axon tunnel
+yields stale-but-attributed data instead of an information-free null.
 """
 from __future__ import annotations
 
@@ -20,8 +23,28 @@ import subprocess
 import sys
 import time
 
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".bench_cpu_baseline.json")
+_CACHE_DIR = os.environ.get("BENCH_CACHE_DIR",
+                            os.path.dirname(os.path.abspath(__file__)))
+BASELINE_CACHE = os.path.join(_CACHE_DIR, ".bench_cpu_baseline.json")
+# Last successful TPU measurement, persisted across runs so a dead tunnel
+# degrades to stale-but-attributed data instead of an information-free null.
+LAST_GOOD_CACHE = os.path.join(_CACHE_DIR, ".bench_last_good.json")
+
+
+def load_last_good():
+    try:
+        with open(LAST_GOOD_CACHE) as f:
+            rec = json.load(f)
+        return rec.get("value"), rec.get("ts")
+    except Exception:
+        return None, None
+
+
+def save_last_good(value: float) -> None:
+    with open(LAST_GOOD_CACHE, "w") as f:
+        json.dump({"value": value,
+                   "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+                  f)
 
 
 def measure_throughput(batch: int, steps: int, warmup: int = 3,
@@ -121,6 +144,8 @@ def main():
     # trivial-op pre-probe fails each attempt fast (~2 min, not the 45-min
     # full-bench timeout) when the tunnel is down.
     def tunnel_alive() -> bool:
+        if os.environ.get("BENCH_FORCE_TUNNEL_DOWN"):  # for tests
+            return False
         try:
             probe = subprocess.run(
                 [sys.executable, "-c",
@@ -132,10 +157,14 @@ def main():
             return False
 
     value = None
-    for attempt in range(3):
+    tunnel = "up"
+    retries = 3 if not os.environ.get("BENCH_FORCE_TUNNEL_DOWN") else 1
+    for attempt in range(retries):
         try:
             if not tunnel_alive():
+                tunnel = "down"
                 raise subprocess.TimeoutExpired("tunnel-probe", 150)
+            tunnel = "up"
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--tpu-probe"],
                 capture_output=True, text=True, timeout=2700, env=os.environ)
@@ -147,23 +176,31 @@ def main():
             err = (out.stderr or "")[-300:]
         except subprocess.TimeoutExpired:
             err = "timeout (tunnel hang?)"
-        if attempt < 2:
+        if attempt < retries - 1:
             print(f"# bench attempt {attempt + 1} failed: {err}; "
                   f"retrying in 60s", file=sys.stderr)
             time.sleep(60)
         else:
             print(f"# bench attempt {attempt + 1} failed: {err}; giving up",
                   file=sys.stderr)
+    if value is not None:
+        save_last_good(value)
+    last_good, last_good_ts = load_last_good()
     try:
         cpu = cpu_baseline()
-        vs = value / (5.0 * cpu) if value is not None else None
     except Exception:
-        cpu, vs = None, None
+        cpu = None
+    best = value if value is not None else last_good
+    vs = best / (5.0 * cpu) if (best is not None and cpu) else None
     print(json.dumps({
         "metric": "pretrain_clouds_per_sec_per_chip",
         "value": round(value, 2) if value is not None else None,
         "unit": "point-clouds/sec/chip (ShapeNet55 Stage-II pretrain, B=%d)" % batch,
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        # a dead tunnel degrades to stale-but-attributed data, never nothing
+        "last_good": round(last_good, 2) if last_good is not None else None,
+        "last_good_ts": last_good_ts,
+        "tunnel": tunnel,
     }))
 
 
