@@ -225,6 +225,41 @@ class TestExportClassifier:
         finally:
             server.shutdown()
 
+    def test_http_server_tokenize(self, rng, tmp_path):
+        """A 'tokenize' artifact serves integer codebook ids under the
+        'tokens' key (not 'recon' — ADVICE r3)."""
+        import http.client
+        import threading
+        from act_tpu.engine import export as ex
+        from tests.test_models import tiny_dvae_cfg
+        from tools.serve_http import serve
+
+        config = ConfigDict(dict(model=tiny_dvae_cfg(NAME="DiscreteVAE"),
+                                 npoints=128))
+        exp = ex.export_dvae_tokenize(config, batch=None)
+        dst = str(tmp_path / "tok.actx")
+        ex.save_exported(exp, dst, meta={"kind": "tokenize", "n_in": 128})
+        server = serve(dst, port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            pts = rng.normal(size=(2, 128, 3)).astype(np.float32)
+            conn.request("POST", "/predict",
+                         body=json.dumps({"points": pts.tolist()}),
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.status == 200
+            out = json.loads(r.read())
+            tokens = np.asarray(out["tokens"])
+            assert tokens.shape == (2, 16)
+            assert np.issubdtype(tokens.dtype, np.integer)
+            np.testing.assert_array_equal(
+                tokens, np.asarray(exp.call(jnp.asarray(pts))))
+        finally:
+            server.shutdown()
+
     @pytest.mark.slow
     def test_cli_end_to_end(self, tmp_path):
         import subprocess

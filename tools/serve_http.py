@@ -10,7 +10,8 @@ tools/export_model.py).
   POST /predict   {"points": [[[x,y,z], ...], ...]}   # (B, N, 3)
       -> classifier: {"logits": [...], "argmax": [...]}
          features:   {"features": [...]}
-         dvae:       {"recon": [...]}
+         dvae:       {"recon": [...]}          # (B, N, 3) reconstruction
+         tokenize:   {"tokens": [...]}         # (B, G) int codebook ids
   GET  /healthz   -> {"ok": true, ...sidecar meta}
 """
 import argparse
@@ -60,6 +61,8 @@ def make_handler(fn, meta, lock):
                             "argmax": out.argmax(-1).tolist()}
                 elif kind == "features":
                     resp = {"features": out.tolist()}
+                elif kind == "tokenize":
+                    resp = {"tokens": out.tolist()}
                 else:
                     resp = {"recon": out.tolist()}
                 self._send(200, resp)
