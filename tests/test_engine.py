@@ -274,6 +274,26 @@ class TestTsneDual:
         if emb_p is not None:
             assert emb_p.shape[1] == 2 and emb_f.shape[1] == 2
 
+    def test_embedding_separates_classes(self):
+        """Functional fidelity of the sklearn-for-openTSNE substitution
+        (reference tools/runner_tsne.py:74-151): well-separated feature
+        clusters must stay separated in the 2-D embedding (silhouette
+        threshold), so the plot path is tested, not just smoked."""
+        from act_tpu.engine.runner_tsne import _embed
+        from sklearn.metrics import silhouette_score
+
+        rng = np.random.default_rng(0)
+        n_cls, per = 6, 40
+        centers = rng.normal(size=(n_cls, 32)) * 8.0
+        feats = np.concatenate([
+            centers[c] + rng.normal(size=(per, 32)) * 0.3
+            for c in range(n_cls)]).astype(np.float32)
+        labels = np.repeat(np.arange(n_cls), per)
+        emb = _embed(feats)
+        assert emb.shape == (n_cls * per, 2)
+        score = silhouette_score(emb, labels)
+        assert score > 0.5, f"t-SNE embedding mixed the classes: {score:.3f}"
+
 
 @pytest.mark.slow
 class TestRunnerSmoke:
@@ -480,6 +500,66 @@ class TestTensorParallel:
         for path, a in flat_dp:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(flat_tp[path]), rtol=2e-4,
+                atol=1e-6, err_msg=jax.tree_util.keystr(path))
+
+
+class TestSyncBN:
+    def test_train_mode_bn_stats_are_global_batch(self):
+        """--sync_bn parity (reference tools/runner_pretrain.py:86-88): in
+        TRAIN mode, BatchNorm batch statistics from the 8-device
+        batch-sharded step must equal the single-device global-batch run —
+        i.e. GSPMD computes the BN mean/var over the full logical batch, not
+        per-shard (per-shard stats would differ whenever shards differ,
+        which the skewed batch below guarantees)."""
+        import jax.numpy as jnp
+        from act_tpu.models import MODELS
+        from act_tpu.parallel import make_mesh, shard_batch
+        from act_tpu.engine.train_state import TrainState, make_finetune_step
+        from act_tpu.utils.config import ConfigDict
+        import optax
+
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.0,
+            cls_dim=8, num_heads=4, group_size=8, num_group=16,
+            encoder_dims=32, transfer_type="full"))
+        model = MODELS.build(cfg)
+        key = jax.random.PRNGKey(0)
+        rng = np.random.default_rng(0)
+        # skew the batch so each device shard has a DIFFERENT distribution:
+        # per-shard BN stats would then diverge hard from the global ones
+        pts = rng.normal(size=(8, 128, 3)).astype(np.float32)
+        pts += np.arange(8, dtype=np.float32)[:, None, None]
+        pts = jnp.asarray(pts)
+        labels = jnp.asarray(rng.integers(0, 8, size=(8,)), jnp.int32)
+        variables = model.init(dict(params=key, dropout=key, droppath=key),
+                               pts)
+        assert variables.get("batch_stats"), "model under test must have BN"
+        tx = optax.sgd(1e-2)
+
+        # single-device global-batch reference: no mesh, no sharding
+        state0 = TrainState.create(
+            jax.tree_util.tree_map(jnp.array, variables), tx)
+        step0 = make_finetune_step(model, mesh=None)
+        state0, metrics0 = step0(state0, pts, labels, key)
+
+        # 8-device batch-sharded run
+        mesh = make_mesh()
+        state8 = TrainState.create(
+            jax.tree_util.tree_map(jnp.array, variables), tx)
+        step8 = make_finetune_step(model, mesh=mesh)
+        with mesh:
+            state8, metrics8 = step8(state8, shard_batch(mesh, pts),
+                                     shard_batch(mesh, labels), key)
+
+        assert abs(float(metrics0["loss"]) - float(metrics8["loss"])) < 1e-5
+        flat0 = jax.tree_util.tree_leaves_with_path(
+            jax.device_get(state0.batch_stats))
+        flat8 = dict(jax.tree_util.tree_leaves_with_path(
+            jax.device_get(state8.batch_stats)))
+        assert flat0
+        for path, a in flat0:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(flat8[path]), rtol=1e-4,
                 atol=1e-6, err_msg=jax.tree_util.keystr(path))
 
 
