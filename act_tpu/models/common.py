@@ -366,12 +366,15 @@ class PosEmbedMLP(nn.Module):
 
 
 class _ConcatDense(nn.Module):
-    """Dense over concat([g_broadcast, x], -1) computed as two matmuls on the
-    row-split kernel — numerically identical, no concat materialization.
-    Kernel shape/name match a plain Dense over the concatenated input."""
+    """Dense over concat([g_broadcast, x], -1) (or [x, g_broadcast] with
+    ``g_last``) computed as two matmuls on the row-split kernel — numerically
+    identical, no concat materialization, and the per-group/global term costs
+    1/M of the naive matmul. Kernel shape/name match a plain Dense over the
+    concatenated input."""
     features: int
     use_bias: bool = True
     dtype: Any = None
+    g_last: bool = False  # kernel rows: [x | g] instead of [g | x]
 
     @nn.compact
     def __call__(self, g: jax.Array, x: jax.Array) -> jax.Array:
@@ -379,8 +382,9 @@ class _ConcatDense(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (cg + cx, self.features))
         dt = self.dtype or w.dtype
-        y = jnp.einsum("rmc,cf->rmf", x.astype(dt), w[cg:].astype(dt))
-        yg = jnp.einsum("rc,cf->rf", g.astype(dt), w[:cg].astype(dt))
+        wx, wg = ((w[:cx], w[cx:]) if self.g_last else (w[cg:], w[:cg]))
+        y = jnp.einsum("rmc,cf->rmf", x.astype(dt), wx.astype(dt))
+        yg = jnp.einsum("rc,cf->rf", g.astype(dt), wg.astype(dt))
         y = y + yg[:, None, :]
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -446,8 +450,14 @@ class _GNConvLReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="conv")(x)
-        # epsilon: torch nn.GroupNorm default (flax defaults to 1e-6)
-        x = nn.GroupNorm(num_groups=4, epsilon=1e-5, name="gn")(x)
+        # epsilon: torch nn.GroupNorm default (flax defaults to 1e-6).
+        # dtype: emit normalized activations in the compute dtype — flax
+        # computes the mean/var statistics in f32 regardless, but without
+        # this the GN *outputs* materialize in f32 and the (B*G, 8192)
+        # gn->lrelu traffic of dgcnn_1's logits layer doubles (profiled
+        # ~1.2ms/step HBM-bound at Stage-I shapes).
+        x = nn.GroupNorm(num_groups=4, epsilon=1e-5, dtype=self.dtype,
+                         name="gn")(x)
         return nn.leaky_relu(x, negative_slope=0.2)
 
 
@@ -478,9 +488,17 @@ class DGCNN(nn.Module):
 
         def graph_feature(feat):
             oh = onehot.astype(feat.dtype)
+            # Precision: with bf16 features the one-hot select is EXACT at
+            # DEFAULT (0/1 weights and bf16 values widen losslessly into the
+            # f32 accumulator) and runs 6x fewer MXU passes than HIGHEST
+            # (profiled ~1.2ms/step fwd across both DGCNNs at Stage-I
+            # shapes). f32 features keep HIGHEST: DEFAULT would round the
+            # gathered values to bf16 (the gather-exactness rule, CLAUDE.md).
+            prec = (jax.lax.Precision.DEFAULT
+                    if feat.dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
             nbr = jnp.einsum("bsg,bgc->bsc", oh, feat,
-                             precision=jax.lax.Precision.HIGHEST
-                             ).reshape(B, G, k, -1)
+                             precision=prec).reshape(B, G, k, -1)
             self_f = jnp.broadcast_to(feat[:, :, None, :], nbr.shape)
             return jnp.concatenate([nbr - self_f, self_f], axis=-1)  # (B, G, 4, 2C)
 
@@ -529,8 +547,6 @@ class FoldingDecoder(nn.Module):
         seed = seed.reshape(B * G, self.num_fine, 2)
 
         point_feat = jnp.repeat(coarse, s, axis=1)  # (BG, num_fine, 3)
-        fg_exp = jnp.broadcast_to(fg[:, None, :], (B * G, self.num_fine, C))
-        feat = jnp.concatenate([fg_exp, seed, point_feat], axis=-1)
 
         # final1/final2 carry no bias: the following BatchNorm's mean
         # subtraction absorbs it (train mode bit-identical; the converter
@@ -540,7 +556,17 @@ class FoldingDecoder(nn.Module):
         bn = dict(use_running_average=not train, momentum=self.bn_momentum,
                   axis_name=self.bn_axis_name if train else None,
                   dtype=self.dtype)
-        h = nn.Dense(512, use_bias=False, dtype=self.dtype, name="final1")(feat)
+        # final1 over concat([fg_broadcast, seed, point_feat]) WITHOUT
+        # materializing the (BG, num_fine, C) global-feature broadcast
+        # (a ~100MB round trip per pass at Stage-I shapes, and num_fine x
+        # the matmul FLOPs on rows that are identical within a group):
+        # _ConcatDense applies kernel rows [:C] to fg once per group and
+        # broadcast-adds, rows [C:] to the per-point seed||coarse features.
+        # Param layout/name unchanged (profiled: final1 fwd+bwd 3.6ms ->
+        # the per-group path is ~num_fine/1 smaller for the fg term).
+        h = _ConcatDense(512, use_bias=False, dtype=self.dtype,
+                         name="final1")(
+            fg, jnp.concatenate([seed, point_feat], axis=-1))
         h = nn.BatchNorm(name="fbn1", **bn)(h)
         h = nn.relu(h)
         h = nn.Dense(512, use_bias=False, dtype=self.dtype, name="final2")(h)

