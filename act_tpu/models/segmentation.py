@@ -102,15 +102,20 @@ class _SegHead(nn.Module):
             lab = nn.leaky_relu(lab, negative_slope=0.2)
             globs.append(lab)
         x_global = jnp.concatenate(globs, axis=-1)  # (B, 2304[+64])
-        x_global = jnp.broadcast_to(x_global[:, None, :],
-                                    (B, N, x_global.shape[-1]))
 
         f_level_0 = FeaturePropagation([self.trans_dim * 4, 1024],
                                        name="propagation_0")(
             pts, center, pts, x, train=train)  # (B, N, 1024)
 
-        h = jnp.concatenate([f_level_0, x_global], axis=-1)
-        h = nn.Dense(512, name="convs1")(h)
+        # convs1 over concat([f_level_0, x_global_broadcast]) WITHOUT
+        # materializing the (B, N, 2304+) global broadcast: the global block
+        # is identical across N, so _ConcatDense computes its contribution
+        # once per batch row and broadcast-adds (2/3 of the convs1 FLOPs and
+        # the broadcast's HBM round trip at the reference concat order —
+        # reference pt.py torch.cat((f_level_0, x_global_feature), 1)).
+        # Param layout/name unchanged.
+        from act_tpu.models.common import _ConcatDense
+        h = _ConcatDense(512, g_last=True, name="convs1")(x_global, f_level_0)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bns1")(h)
         h = nn.relu(h)

@@ -88,6 +88,42 @@ class TestReferenceOps:
                                        jnp.asarray(feats))
         np.testing.assert_allclose(np.asarray(out), feats, atol=1e-3)
 
+    def test_three_nn_interpolate_matmul_matches_ref(self, rng):
+        """The dense-weight MXU formulation (ops/interpolate.py) reproduces
+        the reference gather path (values AND gradients) — same weighted sum,
+        reassociated over S."""
+        unknown = rng.normal(size=(2, 137, 3)).astype(np.float32)
+        known = rng.normal(size=(2, 24, 3)).astype(np.float32)
+        feats = rng.normal(size=(2, 24, 16)).astype(np.float32)
+        args = tuple(jnp.asarray(a) for a in (unknown, known, feats))
+        got = ops.three_nn_interpolate(*args)
+        want = ops.three_nn_interpolate_ref(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        # full gradient parity: grads flow through weights (distances ->
+        # both xyz args) and through the features
+        def loss(fn):
+            return lambda u, kx, kf: (fn(u, kx, kf) ** 2).sum()
+        g_new = jax.grad(loss(ops.three_nn_interpolate), argnums=(0, 1, 2))(*args)
+        g_ref = jax.grad(loss(ops.three_nn_interpolate_ref),
+                         argnums=(0, 1, 2))(*args)
+        for a, b in zip(g_new, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_three_nn_interpolate_degenerate_cloud(self, rng):
+        """All-identical known points (tied distances): both paths select the
+        same tie-broken indices (knn parity) and produce finite output."""
+        unknown = rng.normal(size=(1, 11, 3)).astype(np.float32)
+        known = np.zeros((1, 8, 3), np.float32)
+        feats = rng.normal(size=(1, 8, 4)).astype(np.float32)
+        args = tuple(jnp.asarray(a) for a in (unknown, known, feats))
+        got = np.asarray(ops.three_nn_interpolate(*args))
+        want = np.asarray(ops.three_nn_interpolate_ref(*args))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_ball_query_in_radius(self, rng):
         xyz = rng.uniform(-1, 1, size=(1, 128, 3)).astype(np.float32)
         centers = xyz[:, :4]

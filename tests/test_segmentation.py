@@ -184,3 +184,17 @@ class TestSegRunnerMeshSmoke:
         from act_tpu.engine.runner_segmentation import run_semseg
         miou, state, model = run_semseg(self._args(tmp_path, test_area=5))
         assert 0.0 <= miou <= 1.0
+
+    def test_whole_scene_eval_batched_equals_per_block(self, tmp_path):
+        """Block batching is a dispatch optimization, not a protocol change:
+        eval_batch_size=16 must reproduce the B=1 votes bit-for-bit (the
+        reference evaluates one block per forward, main_test.py:99-124)."""
+        from act_tpu.engine.runner_segmentation import whole_scene_eval
+        metrics = {}
+        for bs in (1, 16):
+            args = self._args(tmp_path, eval_batch_size=bs)
+            metrics[bs] = whole_scene_eval(args, vote_num=1)
+        for k in metrics[1]:
+            # same votes up to XLA batch-tiling float noise in exp(logits)
+            assert metrics[16][k] == pytest.approx(metrics[1][k], abs=1e-6), \
+                (k, metrics)

@@ -9,6 +9,9 @@ anywhere are visible:
   - finetune_cls    : PointTransformer train step incl. the FPS-resample
                       augment from 8192 points (B=32, scan_hardest config)
   - finetune_infer  : eval forward incl. FPS to npoints (B=64)
+  - partseg_step    : ShapeNetPart train step (B=16, N=2048, G=128)
+  - semseg_step     : S3DIS train step (B=32, N=2048, G=128)
+  - semseg_eval     : whole-scene sliding-window block forward (batched)
   - op microbenches : FPS / kNN / whole-cloud Chamfer kernels
 
 Timing protocol (see CLAUDE.md): the tunnel caches identical dispatches and
@@ -222,6 +225,128 @@ def bench_infer(model, state, npoints, B=64):
     return _diff_time(make_fn, mk), B
 
 
+def setup_partseg():
+    """ShapeNetPart train step at the reference CLI defaults
+    (part_segmentation/main.py: B=16, npoint=2048, num_group=128)."""
+    import jax, jax.numpy as jnp
+    from act_tpu.models import MODELS
+    from act_tpu.models.segmentation import nll_seg_loss
+    from act_tpu.parallel import make_mesh, replicate
+    from act_tpu.engine.train_state import TrainState, step_rngs, \
+        _with_kernel_mesh
+    from act_tpu.utils.config import ConfigDict
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    B, N = 16, 2048
+    cfg = ConfigDict(dict(NAME="PartSegTransformer", cls_dim=50,
+                          num_group=128, group_size=32))
+    model = MODELS.build(cfg)
+    mesh = make_mesh()
+    k = jax.random.PRNGKey(0)
+    one_hot = jnp.zeros((B, 16), jnp.float32).at[:, 0].set(1.0)
+    seg = jnp.zeros((B, N), jnp.int32)
+    variables = jax.jit(lambda: model.init(
+        dict(params=k, dropout=k, droppath=k), jnp.zeros((2, N, 3)),
+        one_hot[:2]))()
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(2e-4))
+    state = replicate(mesh, TrainState.create(variables, tx))
+
+    def train_step(state, pts, key):
+        from act_tpu.parallel import DATA_AXIS
+        pts = jax.lax.with_sharding_constraint(
+            pts, NamedSharding(mesh, P(DATA_AXIS)))
+        rngs = step_rngs(key, state.step)
+        rngs.pop("augment")
+
+        def loss_fn(params):
+            log_probs, new_vars = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, one_hot, train=True, rngs=rngs,
+                mutable=["batch_stats"])
+            return nll_seg_loss(log_probs, seg), new_vars
+        (loss, new_vars), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return (state.replace(batch_stats=new_vars["batch_stats"]),
+                {"loss": loss})
+
+    step = jax.jit(_with_kernel_mesh(train_step, mesh))
+    mk = _device_normal((B, N, 3))
+    return step, state, mk, (), B
+
+
+def setup_semseg():
+    """S3DIS train step at the reference CLI defaults
+    (semantic_segmentation/main.py: B=32, npoint=2048, num_group=128)."""
+    import jax, jax.numpy as jnp
+    from act_tpu.models import MODELS
+    from act_tpu.models.segmentation import nll_seg_loss
+    from act_tpu.parallel import make_mesh, replicate
+    from act_tpu.engine.train_state import TrainState, step_rngs, \
+        _with_kernel_mesh
+    from act_tpu.utils.config import ConfigDict
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    B, N, C = 32, 2048, 13
+    cfg = ConfigDict(dict(NAME="SemSegTransformer", cls_dim=C,
+                          num_group=128, group_size=32))
+    model = MODELS.build(cfg)
+    mesh = make_mesh()
+    k = jax.random.PRNGKey(0)
+    seg = jnp.zeros((B, N), jnp.int32)
+    weights = jnp.ones((C,), jnp.float32)
+    variables = jax.jit(lambda: model.init(
+        dict(params=k, dropout=k, droppath=k), jnp.zeros((2, N, 3))))()
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(2e-4))
+    state = replicate(mesh, TrainState.create(variables, tx))
+
+    def train_step(state, pts, key):
+        from act_tpu.parallel import DATA_AXIS
+        pts = jax.lax.with_sharding_constraint(
+            pts, NamedSharding(mesh, P(DATA_AXIS)))
+        rngs = step_rngs(key, state.step)
+        rngs.pop("augment")
+
+        def loss_fn(params):
+            log_probs, new_vars = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, train=True, rngs=rngs, mutable=["batch_stats"])
+            return nll_seg_loss(log_probs, seg, weights), new_vars
+        (loss, new_vars), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        return (state.replace(batch_stats=new_vars["batch_stats"]),
+                {"loss": loss})
+
+    step = jax.jit(_with_kernel_mesh(train_step, mesh))
+    mk = _device_normal((B, N, 3))
+    return step, state, mk, (), B, model
+
+
+def bench_semseg_wholescene(model, state, B=16, N=2048):
+    """Whole-scene vote eval device leg: the batched sliding-window block
+    forward (runner_segmentation.whole_scene_eval batches eval_bs blocks
+    per dispatch; reference main_test.py:99-124 runs one block per forward)."""
+    import jax, jax.numpy as jnp
+
+    def make_fn(n):
+        @jax.jit
+        def many(variables, pts):
+            def body(carry, _):
+                p = carry
+                logits = model.apply(variables, p)
+                p = p + 1e-6 * logits.sum()  # real dependence (see bench_op)
+                return p, logits.sum()
+            _, sums = jax.lax.scan(body, pts, None, length=n)
+            return sums.sum()
+        return lambda *a: float(many(*a))
+
+    variables = state.variables()
+    gen = _device_normal((B, N, 3))
+    mk = lambda i: (variables, gen(i))
+    return _diff_time(make_fn, mk), B
+
+
 def bench_op(op_fn, shape_args, label):
     import jax, jax.numpy as jnp
 
@@ -277,6 +402,24 @@ def main():
     sec, Bi = bench_infer(model, state, npoints)
     row("Finetune inference (FPS to npoints + forward)", sec, Bi)
 
+    step, state, mk, extra, B = setup_partseg()
+    row("PartSeg train step (ShapeNetPart, G=128)",
+        bench_train_step(step, state, mk, extra), B)
+
+    step, state, mk, extra, B, smodel = setup_semseg()
+    row("SemSeg train step (S3DIS, G=128)",
+        bench_train_step(step, state, mk, extra), B)
+
+    sec, Bi = bench_semseg_wholescene(smodel, state)
+    row("SemSeg whole-scene eval forward (batched blocks)", sec, Bi)
+
+    lines.append("")
+    lines.append("Sustained (loader-fed) Stage-II pretrain — the real runner "
+                 "over a synthetic\nShapeNet-shaped file tree "
+                 "(tools/bench_sustained.py): see the row recorded in\n"
+                 "DESIGN.md round 4 (host/tunnel-bound in this container; the "
+                 "loader-only\nassembly rate is the host-side capability "
+                 "number).")
     lines.append("")
     lines.append("| op | shape | ms/call |")
     lines.append("|---|---|---|")

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture_workload(trace_dir: str, workload: str, steps: int = 3) -> None:
-    """Profile any bench_suite workload: PROFILE_WORKLOAD=dvae|finetune."""
+    """Profile any bench_suite workload:
+    PROFILE_WORKLOAD=dvae|finetune|partseg|semseg."""
     import jax
     import jax.numpy as jnp
     import tools.bench_suite as bs
@@ -32,6 +33,10 @@ def capture_workload(trace_dir: str, workload: str, steps: int = 3) -> None:
         step, state, mk, extra, B = bs.setup_dvae()
     elif workload == "finetune":
         step, state, mk, extra, B, _, _ = bs.setup_finetune()
+    elif workload == "partseg":
+        step, state, mk, extra, B = bs.setup_partseg()
+    elif workload == "semseg":
+        step, state, mk, extra, B, _ = bs.setup_semseg()
     else:
         raise SystemExit(f"unknown workload {workload}")
     key = jax.random.PRNGKey(0)
