@@ -284,8 +284,10 @@ def validate(model, state, val_loader, epoch, args, config, logger=None,
     return Metrics(config.consider_metric, dict(zip(Metrics.names(), vals)))
 
 
-def validate_net(args, config):
-    """--val mode (reference validate_net :325-344)."""
+def validate_net(args, config, max_batches=None):
+    """--val mode (reference validate_net :325-344). ``max_batches`` bounds
+    the eval WITHOUT shrinking the model (unlike --smoke) so a converted
+    full-scale checkpoint stays loadable — the parity protocol's smoke leg."""
     logger = args.log_name
     if getattr(args, "smoke", False):
         config = _apply_smoke(config)
@@ -293,7 +295,8 @@ def validate_net(args, config):
     _, val_loader = engine_builder.dataset_builder(args, config.dataset.val)
     model = MODELS.build(config.model)
     state = _load_for_eval(model, config, args, logger)
-    return validate(model, state, val_loader, -1, args, config, logger=logger)
+    return validate(model, state, val_loader, -1, args, config, logger=logger,
+                    max_batches=max_batches)
 
 
 def test_net(args, config):

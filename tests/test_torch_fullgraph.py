@@ -1040,3 +1040,63 @@ class TestFewShotParityRehearsal:
         assert result["zoo_acc"] == 96.8
         assert 0.0 <= result["ours"] <= 100.0
         assert "std" in result
+
+
+@pytest.mark.slow
+class TestDvaeParityRehearsal:
+    """Autoencoding MODEL_ZOO row (MODEL_ZOO.md:8): a fabricated full-scale
+    Stage-I state dict in the released layout ({'base_model': ...}, prompted
+    ViT-B teacher) goes through the production converter -> orbax ->
+    ``--val`` CDL1/CDL2/F-score protocol (reference
+    tools/runner_autoencoder.py:219-323). With this leg every released
+    artifact row has a one-command parity path."""
+
+    def test_released_dvae_pth_to_val_protocol(self, tmp_path, monkeypatch):
+        import sys
+        from tools.parity_protocol import run_protocol
+        from act_tpu.engine import checkpoint as ckpt_lib
+        from act_tpu.utils.config import cfg_from_yaml_file
+
+        # published scale (cfgs/autoencoder/act_dvae_with_pretrained_
+        # transformer.yaml): ViT-B/768x12 teacher, 8192-token codebook
+        fg = sys.modules[__name__]
+        for name, val in dict(ENC_DIMS=384, NUM_TOKENS=8192, TOKENS_DIMS=384,
+                              DECODER_DIMS=384, M=32, TD=768, TDEPTH=12,
+                              THEADS=12, P=64).items():
+            monkeypatch.setattr(fg, name, val)
+        torch.manual_seed(31)
+        tmodel = TorchDVAE().eval()
+        pth = tmp_path / "released_dvae.pth"
+        torch.save({"base_model": tmodel.state_dict()}, pth)
+
+        monkeypatch.chdir("/root/repo")
+        result = run_protocol("dvae", str(pth),
+                              exp_name=f"dvae_rehearsal_{os.getpid()}",
+                              smoke=True)
+        assert result["zoo_acc"] is None  # zoo publishes no number (N/A)
+        assert set(result["metrics"]) == {"F-Score", "CDL1", "CDL2"}
+        assert all(np.isfinite(v) for v in result["metrics"].values())
+
+        # converter coverage: the orbax tree must exactly cover the real
+        # full-scale flax model's param/batch_stats trees
+        loaded = ckpt_lib.load_checkpoint(
+            f"./work_dirs/parity/dvae_rehearsal_{os.getpid()}/converted.orbax")
+        config = cfg_from_yaml_file(
+            "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml")
+        from act_tpu.models import MODELS
+        fmodel = MODELS.build(config.model)
+        k = jax.random.PRNGKey(0)
+        shapes = jax.eval_shape(lambda: fmodel.init(
+            dict(params=k, gumbel=k, dropout=k, droppath=k, mask=k),
+            jnp.zeros((1, 1024, 3), jnp.float32)))
+        from act_tpu.engine.checkpoint import adapt_block_layout
+        loaded["params"] = adapt_block_layout(loaded["params"],
+                                              shapes["params"])
+        want_p = set(flatten_keys(shapes["params"]))
+        got_p = set(flatten_keys(loaded["params"]))
+        assert want_p == got_p, (sorted(want_p - got_p)[:5],
+                                 sorted(got_p - want_p)[:5])
+        want_b = set(flatten_keys(shapes["batch_stats"]))
+        got_b = set(flatten_keys(loaded["batch_stats"]))
+        assert want_b == got_b, (sorted(want_b - got_b)[:5],
+                                 sorted(got_b - want_b)[:5])

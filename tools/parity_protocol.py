@@ -23,6 +23,9 @@ Usage (datasets at the standard ./data layout, or pass --data_root):
     python tools/parity_protocol.py --ckpt ckpt_pretrain.pth \
         --task fewshot_modelnet_5w10s
 
+    # released Stage-I autoencoder ckpt -> CDL1/CDL2/F-score table
+    python tools/parity_protocol.py --ckpt ckpt_dvae.pth --task dvae
+
 The end-to-end pipeline (fabricated full-size released-layout state dict ->
 converter -> orbax -> test protocol) is rehearsed by
 ``tests/test_torch_fullgraph.py::TestParityRehearsal`` so this command needs
@@ -45,6 +48,11 @@ TASKS = {
 
 # MODEL_ZOO.md:16 — released S3DIS semantic-seg ckpt, whole-scene vote mIoU %
 SEG_TASKS = {"s3dis": 61.2}
+
+# MODEL_ZOO.md:8 — released Stage-I autoencoder ckpt. The zoo publishes no
+# accuracy (N/A); the eval protocol is the per-taxonomy CDL1/CDL2/F-score
+# table (reference tools/runner_autoencoder.py:219-323), reported as-is.
+DVAE_TASKS = {"dvae": "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml"}
 
 # MODEL_ZOO.md:21-23 few-shot rows: task -> (way, shot, zoo mean acc %).
 # Input is the released Stage-II PRETRAIN ckpt; the protocol finetunes all
@@ -95,6 +103,10 @@ def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
     from act_tpu.engine import runner_finetune
 
     exp_name = exp_name or f"parity_{task}"
+    if task in DVAE_TASKS:
+        return _run_dvae_protocol(task, ckpt_pth, data_root=data_root,
+                                  exp_name=exp_name, smoke=smoke,
+                                  teacher_arch=teacher_arch)
     if task in SEG_TASKS:
         return _run_seg_protocol(task, ckpt_pth, data_root=data_root,
                                  exp_name=exp_name, smoke=smoke)
@@ -148,6 +160,45 @@ def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
               "within_0.2": abs(delta) <= 0.2, "vote": vote,
               "from_pretrain": from_pretrain}
     return result
+
+
+def _run_dvae_protocol(task: str, ckpt_pth: str, data_root: str = None,
+                       exp_name: str = None, smoke: bool = False,
+                       teacher_arch: str = "vit"):
+    """Released Stage-I autoencoder ckpt -> ``main_autoencoder.py --val``
+    protocol: per-taxonomy CDL1/CDL2/F-score table (reference
+    tools/runner_autoencoder.py:219-323, zoo row MODEL_ZOO.md:8). The zoo
+    publishes no accuracy for this row (Acc N/A), so the result carries the
+    metric table itself — compare it against the released training log."""
+    from act_tpu.utils.parser import get_args
+    from act_tpu.utils.config import get_config
+    from act_tpu.engine import runner_autoencoder
+
+    cfg_path = DVAE_TASKS[task]
+    model = {"vit": "ACTPromptedDiscreteVAEwithVIT",
+             "bert": "ACTPromptedDiscreteVAEwithBERT"}.get(teacher_arch,
+                                                           "DiscreteVAE")
+    orbax_dir = os.path.join("./work_dirs", "parity", exp_name,
+                             "converted.orbax")
+    os.makedirs(os.path.dirname(orbax_dir), exist_ok=True)
+    convert_pth(ckpt_pth, orbax_dir, model, teacher_arch=teacher_arch)
+
+    # NO --smoke flag: that would shrink the model under the full-scale
+    # converted ckpt. Smoke here bounds the eval length only (seg-leg pattern).
+    argv = ["--config", cfg_path, "--exp_name", exp_name,
+            "--ckpts", orbax_dir, "--val"]
+    args = get_args(argv)
+    config = get_config(args)
+    if data_root:
+        _rewrite_data_root(config, data_root)
+    metrics = runner_autoencoder.validate_net(
+        args, config, max_batches=4 if smoke else None)
+    table = metrics.state_dict()
+    return {"task": task, "config": cfg_path, "zoo_acc": None,
+            "ours": float(table.get("CDL2", float("nan"))),
+            "metrics": {k: float(v) for k, v in table.items()},
+            "delta": None, "within_0.2": None, "vote": False,
+            "from_pretrain": False}
 
 
 def _run_seg_protocol(task: str, ckpt_pth: str, data_root: str = None,
@@ -245,6 +296,12 @@ def print_table(results) -> None:
     print("\n| task | config | zoo OA | ours | delta | within 0.2% |")
     print("|---|---|---|---|---|---|")
     for r in results:
+        if r["zoo_acc"] is None:  # dvae: table-only row (zoo Acc is N/A)
+            metric = " ".join(f"{k}={v:.4f}"
+                              for k, v in r.get("metrics", {}).items())
+            print(f"| {r['task']} | {os.path.basename(r['config'])} "
+                  f"| N/A | {metric} | n/a | n/a |")
+            continue
         print(f"| {r['task']} | {os.path.basename(r['config'])} "
               f"| {r['zoo_acc']:.2f} | {r['ours']:.2f} | {r['delta']:+.2f} "
               f"| {'YES' if r['within_0.2'] else 'NO'} |")
@@ -255,7 +312,7 @@ def main():
     parser.add_argument("--ckpt", required=True, help="released .pth")
     parser.add_argument("--task", required=True,
                         choices=(sorted(TASKS) + sorted(SEG_TASKS)
-                                 + sorted(FEWSHOT_TASKS)))
+                                 + sorted(FEWSHOT_TASKS) + sorted(DVAE_TASKS)))
     parser.add_argument("--vote", action="store_true",
                         help="300-round vote protocol (reference test :425)")
     parser.add_argument("--from_pretrain", action="store_true",
