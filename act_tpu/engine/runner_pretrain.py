@@ -265,6 +265,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
         epoch_start = time.time()
         tic = time.time()
         pending = []  # host-side stack for scanned multi-step dispatch
+        loss_pending = []  # deferred device loss scalars (fetched at log time)
         for idx, (tax, mid, data) in enumerate(train_loader):
             pts = data[0] if isinstance(data, (tuple, list)) else data
             if multi_step is not None:
@@ -296,11 +297,20 @@ def run_net(args, config, train_writer=None, val_writer=None):
                           logger=logger)
                 trace.close()
                 return state
-            loss = float(metrics["loss"])
-            meters.update([loss])
+            # defer the loss fetch: float(...) here would block the host on
+            # a device round trip EVERY dispatch (25ms over a tunneled chip),
+            # serializing the loader against the device. Keep the tiny device
+            # scalar and materialize at the logging cadence — dispatch stays
+            # async and host IO overlaps device compute (jax dispatch is
+            # asynchronous; the queue is bounded by the loader prefetch).
+            loss_pending.append(metrics["loss"])
             batch_time.update(time.time() - tic)
             tic = time.time()
             if idx % 100 == 0:
+                for l in loss_pending:
+                    meters.update([float(l)])
+                loss_pending = []
+                loss = meters.val(0)
                 lr = float(schedule(int(state.step)))
                 print_log(
                     f"[Epoch {epoch}][Batch {idx + 1}/{steps_per_epoch}] "
@@ -319,6 +329,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
             n_step += 1
             meters.update([float(metrics["loss"])])
         pending = []
+        for l in loss_pending:  # drain the deferred loss fetches
+            meters.update([float(l)])
+        loss_pending = []
         print_log(f"[Epoch {epoch}] EpochTime={time.time() - epoch_start:.3f}s "
                   f"Loss={meters.avg(0):.4f}", logger=logger)
 

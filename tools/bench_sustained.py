@@ -1,0 +1,151 @@
+"""Sustained (loader-fed) pretrain throughput: is the HOST fast enough?
+
+The device-only bench (bench.py) times the jitted step with device-resident
+batches; this tool answers VERDICT-r3 missing #3 — whether the input pipeline
+can actually feed the chip at that rate — by (1) generating a synthetic
+ShapeNet-shaped file tree (train.txt + one (8192, 3) .npy per cloud, the
+reference's on-disk layout, reference datasets/ShapeNet55Dataset.py:15-40),
+(2) measuring loader-only assembly throughput (np.load + per-cloud subsample
++ normalize + collate, reference :41-61), and (3) running the REAL pretrain
+runner over the tree for a profile epoch and reporting sustained
+clouds/sec vs the device-only number.
+
+Usage:
+    python tools/bench_sustained.py                 # full: 8192 clouds
+    python tools/bench_sustained.py --files 2048    # quicker tree
+    python tools/bench_sustained.py --skip_e2e      # loader-only
+
+The synthetic tree goes to --root (default /tmp/act_tpu_shapenet_synth) and
+is reused across runs (delete to regenerate).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_tree(root: str, n_files: int, n_points: int = 8192) -> None:
+    """ShapeNet-55 on-disk layout: DATA_PATH/train.txt + PC_PATH/*.npy."""
+    pc_path = os.path.join(root, "shapenet_pc")
+    os.makedirs(pc_path, exist_ok=True)
+    marker = os.path.join(root, f".complete_{n_files}_{n_points}")
+    if os.path.exists(marker):
+        print(f"# reusing synthetic tree at {root} ({n_files} files)")
+        return
+    print(f"# generating {n_files} x ({n_points}, 3) .npy under {root} ...")
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    lines = []
+    for i in range(n_files):
+        tax = f"{i % 55:08d}"
+        name = f"{tax}-synth{i:06d}.npy"
+        np.save(os.path.join(pc_path, name),
+                rng.standard_normal((n_points, 3), dtype=np.float32))
+        lines.append(name)
+    for split in ("train", "test"):
+        with open(os.path.join(root, f"{split}.txt"), "w") as f:
+            f.write("\n".join(lines if split == "train" else lines[:128]))
+    with open(marker, "w") as f:
+        f.write("ok")
+    print(f"# tree built in {time.time() - t0:.1f}s")
+
+
+def bench_loader(root: str, batch_size: int, npoints: int, n_batches: int,
+                 num_workers: int) -> float:
+    """Assembly-only clouds/sec through the production DataLoader."""
+    from act_tpu.datasets import DataLoader
+    from act_tpu.datasets.pointcloud_datasets import ShapeNet
+    from act_tpu.utils.config import ConfigDict
+    ds = ShapeNet(ConfigDict(dict(
+        NAME="ShapeNet", N_POINTS=8192, DATA_PATH=root,
+        PC_PATH=os.path.join(root, "shapenet_pc"),
+        subset="train", npoints=npoints)))
+    assert not ds.synthetic, "tree missing — loader fell back to synthetic"
+    dl = DataLoader(ds, batch_size, shuffle=True, drop_last=True, seed=0,
+                    prefetch=2, num_workers=num_workers)
+    it = iter(dl)
+    next(it)  # warm (pool spinup, page cache)
+    t0 = time.time()
+    n = 0
+    for _ in range(n_batches):
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+        n += len(batch[2]) if isinstance(batch, (tuple, list)) else len(batch)
+    dt = time.time() - t0
+    dl.close()
+    return n / dt
+
+
+def bench_e2e(root: str, epochs: int, scan_steps: int) -> dict:
+    """Real runner over the real tree: sustained clouds/sec from wall time."""
+    from act_tpu.utils.parser import get_args
+    from act_tpu.utils.config import get_config
+    from act_tpu.engine import runner_pretrain
+
+    args = get_args(["--config", "cfgs/pretrain/pretrain_act_distill.yaml",
+                     "--exp_name", "bench_sustained",
+                     "--scan_steps", str(scan_steps)])
+    config = get_config(args)
+    config.max_epoch = epochs
+    for split in config.dataset.values():
+        if "_base_" in split:
+            split._base_.DATA_PATH = root
+            split._base_.PC_PATH = os.path.join(root, "shapenet_pc")
+    # profile epochs only: no SVM probe loaders in the loop
+    config.dataset.pop("val", None)
+    config.dataset.pop("extra_train", None)
+    B = int(config.total_bs)
+
+    t0 = time.time()
+    runner_pretrain.run_net(args, config)
+    dt = time.time() - t0
+    from act_tpu.datasets.pointcloud_datasets import ShapeNet  # count clouds
+    n_clouds = None
+    # steps/epoch from the tree size (drop_last)
+    with open(os.path.join(root, "train.txt")) as f:
+        n_files = len(f.read().strip().splitlines())
+    n_clouds = (n_files // B) * B * epochs
+    return {"clouds": n_clouds, "wall_s": dt,
+            "clouds_per_sec": n_clouds / dt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/act_tpu_shapenet_synth")
+    ap.add_argument("--files", type=int, default=8192,
+                    help="synthetic clouds in the tree (ShapeNet-55 train "
+                         "is 41952; 8192 gives identical per-cloud costs)")
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--npoints", type=int, default=1024)
+    ap.add_argument("--loader_batches", type=int, default=40)
+    ap.add_argument("--num_workers", type=int, default=0)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--scan_steps", type=int, default=8)
+    ap.add_argument("--skip_e2e", action="store_true")
+    args = ap.parse_args()
+
+    build_tree(args.root, args.files)
+    loader_rate = bench_loader(args.root, args.batch_size, args.npoints,
+                               args.loader_batches, args.num_workers)
+    print(f"loader-only: {loader_rate:,.0f} clouds/sec "
+          f"(bs={args.batch_size}, workers={args.num_workers})")
+    out = {"loader_clouds_per_sec": round(loader_rate, 1)}
+    if not args.skip_e2e:
+        e2e = bench_e2e(args.root, args.epochs, args.scan_steps)
+        print(f"end-to-end sustained: {e2e['clouds_per_sec']:,.0f} clouds/sec "
+              f"({e2e['clouds']} clouds in {e2e['wall_s']:.1f}s)")
+        out["sustained_clouds_per_sec"] = round(e2e["clouds_per_sec"], 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
