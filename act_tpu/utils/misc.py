@@ -81,10 +81,13 @@ def bn_update_ratio(torch_momentum) -> float:
 # ---------------------------------------------------------------------------
 
 def pc_normalize(pc: np.ndarray) -> np.ndarray:
-    """Center to centroid and scale to the unit sphere (``datasets/ModelNetDataset.py:20``)."""
+    """Center to centroid and scale to the unit sphere (``datasets/ModelNetDataset.py:20``).
+
+    sqrt(max(|p|²)) == max(|p|) bit-for-bit (sqrt is monotone, same winning
+    element) — one sqrt instead of N on the hot loader path (~20µs/cloud)."""
     centroid = pc.mean(axis=0)
     pc = pc - centroid
-    m = np.sqrt((pc ** 2).sum(axis=1)).max()
+    m = np.sqrt(np.einsum("ij,ij->i", pc, pc).max())
     return pc / max(m, 1e-12)
 
 

@@ -414,12 +414,10 @@ def main():
     row("SemSeg whole-scene eval forward (batched blocks)", sec, Bi)
 
     lines.append("")
-    lines.append("Sustained (loader-fed) Stage-II pretrain — the real runner "
-                 "over a synthetic\nShapeNet-shaped file tree "
-                 "(tools/bench_sustained.py): see the row recorded in\n"
-                 "DESIGN.md round 4 (host/tunnel-bound in this container; the "
-                 "loader-only\nassembly rate is the host-side capability "
-                 "number).")
+    lines.append("Sustained (loader-fed) Stage-II pretrain: run "
+                 "tools/bench_sustained.py — loader-only\nassembly + "
+                 "end-to-end rates with tunnel attribution (latest numbers "
+                 "and the\nfull breakdown live in DESIGN.md round 4).")
     lines.append("")
     lines.append("| op | shape | ms/call |")
     lines.append("|---|---|---|")

@@ -86,11 +86,16 @@ def bench_loader(root: str, batch_size: int, npoints: int, n_batches: int,
 
 
 def bench_e2e(root: str, epochs: int, scan_steps: int) -> dict:
-    """Real runner over the real tree: sustained clouds/sec from wall time."""
+    """Real runner over the real tree: sustained clouds/sec from the LAST
+    epoch's wall time (the first epoch carries the one-off XLA compile)."""
+    import glob
+    import re
     from act_tpu.utils.parser import get_args
     from act_tpu.utils.config import get_config
+    from act_tpu.utils.logger import get_root_logger
     from act_tpu.engine import runner_pretrain
 
+    epochs = max(epochs, 2)  # epoch 0 pays the compile; measure the last
     args = get_args(["--config", "cfgs/pretrain/pretrain_act_distill.yaml",
                      "--exp_name", "bench_sustained",
                      "--scan_steps", str(scan_steps)])
@@ -104,18 +109,27 @@ def bench_e2e(root: str, epochs: int, scan_steps: int) -> dict:
     config.dataset.pop("val", None)
     config.dataset.pop("extra_train", None)
     B = int(config.total_bs)
+    log_file = os.path.join(args.experiment_path, "sustained.log")
+    args.log_name = "sustained"
+    get_root_logger(log_file=log_file, name="sustained")
 
     t0 = time.time()
     runner_pretrain.run_net(args, config)
     dt = time.time() - t0
-    from act_tpu.datasets.pointcloud_datasets import ShapeNet  # count clouds
-    n_clouds = None
-    # steps/epoch from the tree size (drop_last)
-    with open(os.path.join(root, "train.txt")) as f:
-        n_files = len(f.read().strip().splitlines())
-    n_clouds = (n_files // B) * B * epochs
-    return {"clouds": n_clouds, "wall_s": dt,
-            "clouds_per_sec": n_clouds / dt}
+    # actual epoch size (the pretrain split sets whole=train+test)
+    from act_tpu.datasets.pointcloud_datasets import ShapeNet
+    from act_tpu.utils.config import ConfigDict
+    base = dict(config.dataset.train._base_)
+    n_total = len(ShapeNet(ConfigDict(
+        {**base, "subset": "train",
+         "npoints": int(config.dataset.train.others.npoints)})))
+    per_epoch = (n_total // B) * B  # drop_last
+    epoch_times = [float(m) for m in re.findall(
+        r"EpochTime=([\d.]+)s", open(log_file).read())]
+    steady = min(epoch_times[1:]) if len(epoch_times) > 1 else epoch_times[-1]
+    return {"clouds": per_epoch * epochs, "wall_s": dt,
+            "epoch_times_s": epoch_times,
+            "clouds_per_sec": per_epoch / steady}
 
 
 def main():
