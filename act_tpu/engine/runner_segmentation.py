@@ -158,7 +158,8 @@ def run_partseg(args, logger=None):
     set_default_kernel_mesh(mesh)
     cfg = ConfigDict(dict(NAME="PartSegTransformer", cls_dim=NUM_PART_CLASSES,
                           num_group=int(getattr(args, "num_group", 128)),
-                          group_size=32))
+                          group_size=32,
+                          dtype=getattr(args, "dtype", "bf16")))
     model = MODELS.build(cfg)
     root_key = set_random_seed(0)
     sample_pts = jnp.zeros((2, npoints, 3), jnp.float32)
@@ -257,7 +258,8 @@ def run_semseg(args, logger=None):
     set_default_kernel_mesh(mesh)
     cfg = ConfigDict(dict(NAME="SemSegTransformer", cls_dim=S3DIS_NUM_CLASSES,
                           num_group=int(getattr(args, "num_group", 128)),
-                          group_size=32))
+                          group_size=32,
+                          dtype=getattr(args, "dtype", "bf16")))
     model = MODELS.build(cfg)
     root_key = set_random_seed(0)
     sample_pts = jnp.zeros((2, npoints, 3), jnp.float32)
@@ -340,7 +342,8 @@ def whole_scene_eval(args, state=None, model=None, logger=None,
                            test_area=int(getattr(args, "test_area", 5)))
     if model is None:
         cfg = ConfigDict(dict(NAME="SemSegTransformer",
-                              cls_dim=S3DIS_NUM_CLASSES))
+                              cls_dim=S3DIS_NUM_CLASSES,
+                              dtype=getattr(args, "dtype", "bf16")))
         model = MODELS.build(cfg)
         root_key = set_random_seed(0)
         rngs = dict(params=root_key, dropout=root_key, droppath=root_key)

@@ -71,7 +71,12 @@ class DropPath(nn.Module):
         rng = self.make_rng("droppath")
         mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, mask_shape)
-        return jnp.where(mask, x / keep, 0.0)
+        # scale in x's dtype: keep is f32 when traced (rate_override) or a
+        # weak python float otherwise — an f32-strong divide would promote a
+        # bf16 residual stream to f32 for the rest of the stack (and break
+        # the scanned stack's carry dtype invariance in train mode)
+        return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                         jnp.zeros([], x.dtype))
 
 
 class Mlp(nn.Module):

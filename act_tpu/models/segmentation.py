@@ -20,7 +20,7 @@ from act_tpu import ops
 from act_tpu.models.build import MODELS
 from act_tpu.utils.config import as_cfg
 from act_tpu.models.common import (GroupEncoder, PosEmbedMLP,
-                                   TransformerEncoder)
+                                   TransformerEncoder, dtype_from_cfg)
 import numpy as np
 
 
@@ -31,21 +31,24 @@ class FeaturePropagation(nn.Module):
     known_feats (B,S,D2) -> (B, N, mlp[-1]).
     """
     mlp: Sequence[int]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
                  train: bool = False):
         interp = ops.three_nn_interpolate(unknown_xyz, known_xyz, known_feats)
         if unknown_feats is not None:
-            new = jnp.concatenate([unknown_feats, interp], axis=-1)
+            new = jnp.concatenate(
+                [unknown_feats.astype(interp.dtype), interp], axis=-1)
         else:
             new = interp
         for i, ch in enumerate(self.mlp):
-            new = nn.Dense(ch, name=f"conv{i}")(new)
+            new = nn.Dense(ch, dtype=self.dtype, name=f"conv{i}")(new)
             # momentum 0.9 = torch BatchNorm default 0.1 (flax convention is
-            # the running-average weight)
+            # the running-average weight); BN stats f32, outputs in the
+            # compute dtype (the GroupEncoder policy)
             new = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               name=f"bn{i}")(new)
+                               dtype=self.dtype, name=f"bn{i}")(new)
             new = nn.relu(new)
         return new
 
@@ -60,19 +63,22 @@ class SegBackbone(nn.Module):
     group_size: int = 32
     num_group: int = 128
     fetch_idx: Tuple[int, ...] = (3, 7, 11)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts, train: bool = False):
         neighborhood, center = ops.group_points(pts, self.num_group,
                                                 self.group_size)
-        tokens = GroupEncoder(self.encoder_dims, name="encoder")(
-            neighborhood, train=train)
-        pos = PosEmbedMLP(self.trans_dim, name="pos_embed")(center)
+        tokens = GroupEncoder(self.encoder_dims, dtype=self.dtype,
+                              name="encoder")(neighborhood, train=train)
+        pos = PosEmbedMLP(self.trans_dim, dtype=self.dtype,
+                          name="pos_embed")(center)
         # shared scanned stack (models/common.py); legacy flat blocks_i
         # checkpoints are re-nested + stacked on load (adapt_block_layout)
         _, feats = TransformerEncoder(
             embed_dim=self.trans_dim, depth=self.depth,
             num_heads=self.num_heads, drop_path_rate=self.drop_path_rate,
+            dtype=self.dtype,
             name="blocks")(tokens, pos, deterministic=not train,
                            return_hidden=self.fetch_idx)
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
@@ -85,6 +91,7 @@ class _SegHead(nn.Module):
     cls_dim: int
     with_label: bool  # 16-way object label conv (part seg only)
     trans_dim: int = 384
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, pts, seg_feats, center, cls_label_one_hot=None,
@@ -95,15 +102,16 @@ class _SegHead(nn.Module):
         x_avg = jnp.mean(x, axis=1)  # (B, 1152)
         globs = [x_max, x_avg]
         if self.with_label:
-            lab = nn.Dense(64, use_bias=False, name="label_conv")(
-                cls_label_one_hot)  # (B, 64)
+            lab = nn.Dense(64, use_bias=False, dtype=self.dtype,
+                           name="label_conv")(cls_label_one_hot)  # (B, 64)
             lab = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               name="label_bn")(lab)
+                               dtype=self.dtype, name="label_bn")(lab)
             lab = nn.leaky_relu(lab, negative_slope=0.2)
             globs.append(lab)
         x_global = jnp.concatenate(globs, axis=-1)  # (B, 2304[+64])
 
         f_level_0 = FeaturePropagation([self.trans_dim * 4, 1024],
+                                       dtype=self.dtype,
                                        name="propagation_0")(
             pts, center, pts, x, train=train)  # (B, N, 1024)
 
@@ -115,17 +123,20 @@ class _SegHead(nn.Module):
         # reference pt.py torch.cat((f_level_0, x_global_feature), 1)).
         # Param layout/name unchanged.
         from act_tpu.models.common import _ConcatDense
-        h = _ConcatDense(512, g_last=True, name="convs1")(x_global, f_level_0)
+        h = _ConcatDense(512, g_last=True, dtype=self.dtype,
+                         name="convs1")(x_global, f_level_0)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bns1")(h)
+                         dtype=self.dtype, name="bns1")(h)
         h = nn.relu(h)
         h = nn.Dropout(0.5)(h, deterministic=not train)
-        h = nn.Dense(256, name="convs2")(h)
+        h = nn.Dense(256, dtype=self.dtype, name="convs2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="bns2")(h)
+                         dtype=self.dtype, name="bns2")(h)
         h = nn.relu(h)
+        # convs3/log_softmax stay f32 (losses-f32 policy; bf16 input + f32
+        # kernel promotes)
         h = nn.Dense(self.cls_dim, name="convs3")(h)
-        return jax.nn.log_softmax(h, axis=-1)  # (B, N, cls_dim)
+        return jax.nn.log_softmax(h.astype(jnp.float32), axis=-1)
 
 
 @MODELS.register_module()
@@ -136,11 +147,15 @@ class PartSegTransformer(nn.Module):
     def setup(self):
         cfg = as_cfg(self.config)
         self.cls_dim = int(cfg.get("cls_dim", 50))
+        # config `dtype: bf16` enables the same compute policy as every other
+        # graph: matmul/conv activations bf16, params/norm stats/losses f32
+        dtype = dtype_from_cfg(cfg)
         self.backbone = SegBackbone(
             num_group=int(cfg.get("num_group", 128)),
             group_size=int(cfg.get("group_size", 32)),
-            name="backbone")
-        self.head = _SegHead(self.cls_dim, with_label=True, name="head")
+            dtype=dtype, name="backbone")
+        self.head = _SegHead(self.cls_dim, with_label=True, dtype=dtype,
+                             name="head")
 
     def __call__(self, pts, cls_label_one_hot, train: bool = False):
         seg_feats, center = self.backbone(pts, train=train)
@@ -155,11 +170,13 @@ class SemSegTransformer(nn.Module):
     def setup(self):
         cfg = as_cfg(self.config)
         self.cls_dim = int(cfg.get("cls_dim", 13))
+        dtype = dtype_from_cfg(cfg)  # see PartSegTransformer
         self.backbone = SegBackbone(
             num_group=int(cfg.get("num_group", 128)),
             group_size=int(cfg.get("group_size", 32)),
-            name="backbone")
-        self.head = _SegHead(self.cls_dim, with_label=False, name="head")
+            dtype=dtype, name="backbone")
+        self.head = _SegHead(self.cls_dim, with_label=False, dtype=dtype,
+                             name="head")
 
     def __call__(self, pts, train: bool = False):
         seg_feats, center = self.backbone(pts, train=train)

@@ -18,6 +18,8 @@ def parse_args():
     parser.add_argument("--ckpts", type=str, default=None)
     parser.add_argument("--root", type=str, default="data/stanford_indoor3d")
     parser.add_argument("--num_group", type=int, default=128)
+    parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                        help="matmul/conv activation dtype (stats/losses f32)")
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--mesh_model_parallel", type=int, default=1,
                         help="tensor-parallel mesh axis (like main.py)")

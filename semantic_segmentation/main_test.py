@@ -9,6 +9,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_args():
     parser = argparse.ArgumentParser("semantic segmentation whole-scene test")
     parser.add_argument("--npoint", type=int, default=2048)
+    parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                        help="matmul/conv activation dtype (stats/losses f32)")
     parser.add_argument("--test_area", type=int, default=5)
     parser.add_argument("--log_dir", type=str, default="act_semseg")
     parser.add_argument("--ckpts", type=str, default=None)

@@ -49,6 +49,25 @@ class TestSegModels:
         out = model.apply(variables, pts)
         assert out.shape == (2, 128, 13)
 
+    def test_bf16_policy(self, rng):
+        """config dtype=bf16 (the CLI default): params + BN stats stay f32,
+        log-probs stay f32 and track the f32 model — the same compute policy
+        as every other graph (tests/test_models.py::test_bf16_policy)."""
+        mk = lambda **kw: MODELS.build(ConfigDict(dict(
+            NAME="SemSegTransformer", cls_dim=13, num_group=16,
+            group_size=8, **kw)))
+        m32, m16 = mk(), mk(dtype="bf16")
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        variables = m32.init(RNGS, pts)
+        for coll in ("params", "batch_stats"):
+            for leaf in jax.tree_util.tree_leaves(m16.init(RNGS, pts)[coll]):
+                assert leaf.dtype == jnp.float32
+        l32 = m32.apply(variables, pts, rngs=RNGS)
+        l16 = m16.apply(variables, pts, rngs=RNGS)
+        assert l16.dtype == jnp.float32  # logits/log_softmax stay f32
+        np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                                   atol=0.25)
+
     def test_weighted_nll(self):
         lp = jnp.log(jnp.full((1, 4, 3), 1 / 3))
         tgt = jnp.asarray([[0, 1, 2, 0]])

@@ -239,7 +239,7 @@ def setup_partseg():
     from jax.sharding import NamedSharding, PartitionSpec as P
     B, N = 16, 2048
     cfg = ConfigDict(dict(NAME="PartSegTransformer", cls_dim=50,
-                          num_group=128, group_size=32))
+                          num_group=128, group_size=32, dtype="bf16"))
     model = MODELS.build(cfg)
     mesh = make_mesh()
     k = jax.random.PRNGKey(0)
@@ -289,7 +289,7 @@ def setup_semseg():
     from jax.sharding import NamedSharding, PartitionSpec as P
     B, N, C = 32, 2048, 13
     cfg = ConfigDict(dict(NAME="SemSegTransformer", cls_dim=C,
-                          num_group=128, group_size=32))
+                          num_group=128, group_size=32, dtype="bf16"))
     model = MODELS.build(cfg)
     mesh = make_mesh()
     k = jax.random.PRNGKey(0)
@@ -372,7 +372,24 @@ def bench_op(op_fn, shape_args, label):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCHMARKS.md")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated workload keys (pretrain,dvae,"
+                         "finetune,partseg,semseg,ops) — skipped rows keep "
+                         "their previous values from --out if it exists")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(key):
+        return only is None or key in only
+
+    prev_rows = {}
+    if only is not None and os.path.exists(args.out):
+        with open(args.out) as f:
+            for ln in f:
+                if ln.startswith("|") and "|---" not in ln:
+                    name = ln.split("|")[1].strip()
+                    prev_rows[name] = ln.rstrip("\n")
+
     import jax
     from act_tpu import ops
     lines = []
@@ -387,31 +404,54 @@ def main():
         lines.append(f"| {name} | {B} | {sec * 1000:.2f} | {B / sec:,.0f} |")
         print(lines[-1], flush=True)
 
-    step, state, mk, extra, B = setup_pretrain()
-    row("Stage-II pretrain step (ACT_PointDistillation)",
-        bench_train_step(step, state, mk, extra), B)
+    def keep(name):
+        """Re-emit the previous row for a workload skipped via --only."""
+        if name in prev_rows:
+            lines.append(prev_rows[name])
+            print(lines[-1], "(kept)", flush=True)
 
-    step, state, mk, extra, B = setup_dvae()
-    row("Stage-I dVAE step (prompted ViT-B teacher)",
-        bench_train_step(step, state, mk, extra), B)
+    if want("pretrain"):
+        step, state, mk, extra, B = setup_pretrain()
+        row("Stage-II pretrain step (ACT_PointDistillation)",
+            bench_train_step(step, state, mk, extra), B)
+    else:
+        keep("Stage-II pretrain step (ACT_PointDistillation)")
 
-    step, state, mk, extra, B, model, npoints = setup_finetune()
-    row("Finetune cls step (incl. 8192-pt FPS resample)",
-        bench_train_step(step, state, mk, extra), B)
+    if want("dvae"):
+        step, state, mk, extra, B = setup_dvae()
+        row("Stage-I dVAE step (prompted ViT-B teacher)",
+            bench_train_step(step, state, mk, extra), B)
+    else:
+        keep("Stage-I dVAE step (prompted ViT-B teacher)")
 
-    sec, Bi = bench_infer(model, state, npoints)
-    row("Finetune inference (FPS to npoints + forward)", sec, Bi)
+    if want("finetune"):
+        step, state, mk, extra, B, model, npoints = setup_finetune()
+        row("Finetune cls step (incl. 8192-pt FPS resample)",
+            bench_train_step(step, state, mk, extra), B)
 
-    step, state, mk, extra, B = setup_partseg()
-    row("PartSeg train step (ShapeNetPart, G=128)",
-        bench_train_step(step, state, mk, extra), B)
+        sec, Bi = bench_infer(model, state, npoints)
+        row("Finetune inference (FPS to npoints + forward)", sec, Bi)
+    else:
+        keep("Finetune cls step (incl. 8192-pt FPS resample)")
+        keep("Finetune inference (FPS to npoints + forward)")
 
-    step, state, mk, extra, B, smodel = setup_semseg()
-    row("SemSeg train step (S3DIS, G=128)",
-        bench_train_step(step, state, mk, extra), B)
+    if want("partseg"):
+        step, state, mk, extra, B = setup_partseg()
+        row("PartSeg train step (ShapeNetPart, G=128)",
+            bench_train_step(step, state, mk, extra), B)
+    else:
+        keep("PartSeg train step (ShapeNetPart, G=128)")
 
-    sec, Bi = bench_semseg_wholescene(smodel, state)
-    row("SemSeg whole-scene eval forward (batched blocks)", sec, Bi)
+    if want("semseg"):
+        step, state, mk, extra, B, smodel = setup_semseg()
+        row("SemSeg train step (S3DIS, G=128)",
+            bench_train_step(step, state, mk, extra), B)
+
+        sec, Bi = bench_semseg_wholescene(smodel, state)
+        row("SemSeg whole-scene eval forward (batched blocks)", sec, Bi)
+    else:
+        keep("SemSeg train step (S3DIS, G=128)")
+        keep("SemSeg whole-scene eval forward (batched blocks)")
 
     lines.append("")
     lines.append("Sustained (loader-fed) Stage-II pretrain: run "
@@ -426,15 +466,20 @@ def main():
         lines.append(f"| {name} | {shape} | {sec * 1000:.3f} |")
         print(lines[-1], flush=True)
 
-    oprow("furthest_point_sample", "(128, 1024) -> 64",
-          bench_op(lambda x: ops.furthest_point_sample(x, 64).sum() * 1.0,
-                   (128, 1024, 3), "fps"))
-    oprow("knn (group)", "(128, 64, 1024) k=32",
-          bench_op(lambda x: ops.knn(x, x[:, :64], 32)[1].sum() * 1.0,
-                   (128, 1024, 3), "knn"))
-    oprow("chamfer_distance_l1", "(32, 2048) vs (32, 2048)",
-          bench_op(lambda x: ops.chamfer_distance_l1(x, x[:, ::-1] + 0.01),
-                   (32, 2048, 3), "chamfer"))
+    if want("ops"):
+        oprow("furthest_point_sample", "(128, 1024) -> 64",
+              bench_op(lambda x: ops.furthest_point_sample(x, 64).sum() * 1.0,
+                       (128, 1024, 3), "fps"))
+        oprow("knn (group)", "(128, 64, 1024) k=32",
+              bench_op(lambda x: ops.knn(x, x[:, :64], 32)[1].sum() * 1.0,
+                       (128, 1024, 3), "knn"))
+        oprow("chamfer_distance_l1", "(32, 2048) vs (32, 2048)",
+              bench_op(lambda x: ops.chamfer_distance_l1(x, x[:, ::-1] + 0.01),
+                       (32, 2048, 3), "chamfer"))
+    else:
+        keep("furthest_point_sample")
+        keep("knn (group)")
+        keep("chamfer_distance_l1")
 
     out = "\n".join(lines) + "\n"
     with open(args.out, "w") as f:

@@ -136,6 +136,11 @@ def run_protocol(task: str, ckpt_pth: str, vote: bool = False,
     config = get_config(args)
     if data_root:
         _rewrite_data_root(config, data_root)
+    if not from_pretrain:
+        # pure-eval leg of a released torch-f32 ckpt: evaluate in f32 so the
+        # 0.2-point tolerance measures converter parity, not bf16 rounding
+        # (from_pretrain legs keep the shipped training dtype)
+        config.model.dtype = "f32"
 
     if from_pretrain:
         # full finetune from the converted pretrain weights, then report the
@@ -220,7 +225,7 @@ def _run_seg_protocol(task: str, ckpt_pth: str, data_root: str = None,
         npoint=256 if smoke else 2048, test_area=5, ckpts=orbax_dir,
         root=(os.path.join(data_root, "stanford_indoor3d") if data_root
               else "data/stanford_indoor3d"),
-        smoke=smoke,
+        smoke=smoke, dtype="f32",  # parity evals in f32 like the torch ref
         experiment_path=os.path.join("./work_dirs", "parity", exp_name))
     logger = get_root_logger(
         log_file=os.path.join(args.experiment_path, "parity.log"),
