@@ -306,7 +306,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
             loss_pending.append(metrics["loss"])
             batch_time.update(time.time() - tic)
             tic = time.time()
-            if idx % 100 == 0:
+            # log every ~100 batches. Under multi_step this line only runs on
+            # dispatch iterations (idx = k*scan_steps - 1), where idx % 100
+            # can be unsatisfiable (e.g. scan_steps=8: idx always odd) -- so
+            # fire whenever the dispatched window crossed a 100-batch mark.
+            scan_eff = scan_steps if multi_step is not None else 1
+            if (idx // 100) != ((idx - scan_eff) // 100):
                 for l in loss_pending:
                     meters.update([float(l)])
                 loss_pending = []

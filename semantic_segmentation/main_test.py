@@ -16,6 +16,9 @@ def parse_args():
     parser.add_argument("--ckpts", type=str, default=None)
     parser.add_argument("--root", type=str, default="data/stanford_indoor3d")
     parser.add_argument("--num_votes", type=int, default=3)
+    parser.add_argument("--eval_batch_size", type=int, default=16,
+                        help="sliding-window blocks batched per forward "
+                             "(votes are bit-equal at any value)")
     parser.add_argument("--smoke", action="store_true")
     return parser.parse_args()
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 import time
 
@@ -377,15 +378,22 @@ def main():
                          "finetune,partseg,semseg,ops) — skipped rows keep "
                          "their previous values from --out if it exists")
     args = ap.parse_args()
+    KNOWN = {"pretrain", "dvae", "finetune", "partseg", "semseg", "ops"}
     only = set(args.only.split(",")) if args.only else None
+    if only is not None and only - KNOWN:
+        raise SystemExit(f"unknown --only keys {sorted(only - KNOWN)}; "
+                         f"valid: {sorted(KNOWN)}")
 
     def want(key):
         return only is None or key in only
 
-    prev_rows = {}
+    prev_rows, prev_dev = {}, None
     if only is not None and os.path.exists(args.out):
         with open(args.out) as f:
             for ln in f:
+                m = re.match(r"# Benchmarks \((\w+),", ln)
+                if m:
+                    prev_dev = m.group(1)
                 if ln.startswith("|") and "|---" not in ln:
                     name = ln.split("|")[1].strip()
                     prev_rows[name] = ln.rstrip("\n")
@@ -394,6 +402,13 @@ def main():
     from act_tpu import ops
     lines = []
     dev = jax.devices()[0].platform
+    if prev_dev is not None and prev_dev != dev:
+        # an --only run must not relabel kept rows measured on a different
+        # platform (e.g. a CPU session rewriting TPU numbers as "cpu")
+        raise SystemExit(
+            f"--only would mix platforms: {args.out} holds {prev_dev} rows "
+            f"but this session runs on {dev}. Re-run without --only, or on "
+            f"the {prev_dev} backend.")
     lines.append(f"# Benchmarks ({dev}, single chip)\n")
     lines.append("Measured with chained-dependency K-step programs, fresh "
                  "inputs per dispatch (tools/bench_suite.py).\n")
@@ -409,6 +424,10 @@ def main():
         if name in prev_rows:
             lines.append(prev_rows[name])
             print(lines[-1], "(kept)", flush=True)
+        else:
+            print(f"WARNING: no previous row for {name!r} in {args.out}; "
+                  f"it will be MISSING from the regenerated table",
+                  file=sys.stderr, flush=True)
 
     if want("pretrain"):
         step, state, mk, extra, B = setup_pretrain()

@@ -116,13 +116,17 @@ def bench_e2e(root: str, epochs: int, scan_steps: int) -> dict:
     t0 = time.time()
     runner_pretrain.run_net(args, config)
     dt = time.time() - t0
-    # actual epoch size (the pretrain split sets whole=train+test)
+    # actual epoch size: honor the config's split flags (the pretrain split
+    # sets whole=True, which concatenates train+test -- counting only the
+    # train list would under-report clouds/sec by the test-split fraction)
     from act_tpu.datasets.pointcloud_datasets import ShapeNet
     from act_tpu.utils.config import ConfigDict
     base = dict(config.dataset.train._base_)
+    others = config.dataset.train.others
     n_total = len(ShapeNet(ConfigDict(
-        {**base, "subset": "train",
-         "npoints": int(config.dataset.train.others.npoints)})))
+        {**base, "subset": others.get("subset", "train"),
+         "whole": bool(others.get("whole", False)),
+         "npoints": int(others.npoints)})))
     per_epoch = (n_total // B) * B  # drop_last
     epoch_times = [float(m) for m in re.findall(
         r"EpochTime=([\d.]+)s", open(log_file).read())]

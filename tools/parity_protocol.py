@@ -180,20 +180,33 @@ def _run_dvae_protocol(task: str, ckpt_pth: str, data_root: str = None,
     from act_tpu.engine import runner_autoencoder
 
     cfg_path = DVAE_TASKS[task]
-    model = {"vit": "ACTPromptedDiscreteVAEwithVIT",
-             "bert": "ACTPromptedDiscreteVAEwithBERT"}.get(teacher_arch,
-                                                           "DiscreteVAE")
+
+    # NO --smoke flag: that would shrink the model under the full-scale
+    # converted ckpt. Smoke here bounds the eval length only (seg-leg pattern).
+    argv = ["--config", cfg_path, "--exp_name", exp_name, "--val"]
+    args = get_args(argv)
+    config = get_config(args)
+    # The converter layout must match the model the config builds -- derive
+    # it from the config NAME instead of trusting --teacher_arch (a bert/clip
+    # flag against the ViT config would write a mismatched tree).
+    model = str(config.model.NAME)
+    expected_arch = {"ACTPromptedDiscreteVAEwithVIT": "vit",
+                     "ACTPromptedDiscreteVAEwithBERT": "bert"}.get(model)
+    if expected_arch is not None and teacher_arch != expected_arch:
+        raise SystemExit(
+            f"--task {task} evaluates {model} ({cfg_path}); "
+            f"--teacher_arch {teacher_arch} does not match (expected "
+            f"{expected_arch}). The released Stage-I ckpt is the prompted-"
+            f"ViT autoencoder (MODEL_ZOO.md:8).")
     orbax_dir = os.path.join("./work_dirs", "parity", exp_name,
                              "converted.orbax")
     os.makedirs(os.path.dirname(orbax_dir), exist_ok=True)
     convert_pth(ckpt_pth, orbax_dir, model, teacher_arch=teacher_arch)
-
-    # NO --smoke flag: that would shrink the model under the full-scale
-    # converted ckpt. Smoke here bounds the eval length only (seg-leg pattern).
-    argv = ["--config", cfg_path, "--exp_name", exp_name,
-            "--ckpts", orbax_dir, "--val"]
-    args = get_args(argv)
-    config = get_config(args)
+    args.ckpts = orbax_dir
+    # parity evals run f32 like the torch reference (same policy as the
+    # classification/seg legs): the CDL table measures converter drift,
+    # not bf16 rounding
+    config.model.dtype = "f32"
     if data_root:
         _rewrite_data_root(config, data_root)
     metrics = runner_autoencoder.validate_net(
