@@ -175,7 +175,9 @@ def main():
                 break
             err = (out.stderr or "")[-300:]
         except subprocess.TimeoutExpired:
-            err = "timeout (tunnel hang?)"
+            err = ("timeout (tunnel hang? -- or host contention: on this "
+                   "1-core host a concurrent heavy process, e.g. the pytest "
+                   "suite, starves the bench child past its deadline)")
         if attempt < retries - 1:
             print(f"# bench attempt {attempt + 1} failed: {err}; "
                   f"retrying in 60s", file=sys.stderr)
