@@ -18,10 +18,11 @@ import numpy as np
 from act_tpu.datasets import transforms as T
 from act_tpu.engine import builder as engine_builder
 from act_tpu.engine import checkpoint as ckpt_lib
-from act_tpu.engine.train_state import TrainState, make_autoencoder_step
+from act_tpu.engine.train_state import (TrainState, make_autoencoder_step,
+                                        make_multi_step)
 from act_tpu.models import MODELS
 from act_tpu.ops._backend import set_default_kernel_mesh
-from act_tpu.parallel import make_mesh, shard_batch
+from act_tpu.parallel import make_mesh, shard_batch, shard_stacked
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
 from act_tpu.utils.metrics import Metrics
@@ -162,6 +163,20 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     train_step = make_autoencoder_step(model, transform_fn=None, mesh=mesh,
                                    trainable_mask=trainable if frozen else None)
+    # --scan_steps K: one host dispatch trains K steps (pretrain-runner
+    # pattern). The annealed temp/kld scalars are per-step scanned inputs
+    # that sit AFTER the key in the step signature -> custom `call` order.
+    scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    if smoke:
+        # smoke still runs exactly max_steps (=2) batches; an explicit
+        # --scan_steps >1 exercises the scan path as ONE 2-step dispatch
+        scan_steps = min(scan_steps, 2)
+    multi_step = None
+    if scan_steps > 1:
+        multi_step = make_multi_step(
+            train_step, scan_steps,
+            call=lambda st, batch, key, extra: train_step(
+                st, batch[0], key, batch[1], batch[2], *extra))
 
     from act_tpu.engine.preemption import GUARD
     max_steps = 2 if smoke else None
@@ -178,15 +193,32 @@ def run_net(args, config, train_writer=None, val_writer=None):
                     (jnp.float32(bn_update_ratio(bnm(epoch))),))
         meters = AverageMeter(["Loss1", "Loss2"])
         t0 = time.time()
+        pending = []  # host-side (pts, temp, kldw) stack for scan dispatch
+        metric_pending = []  # deferred device scalars (fetched at log time)
         for idx, (tax, mid, data) in enumerate(train_loader):
             pts = data[0] if isinstance(data, (tuple, list)) else data
-            pts = shard_batch(mesh, jnp.asarray(pts))
             temp = get_temp(config, n_itr)
             kldw = get_kld_weight(config, n_itr)
-            state, metrics = train_step(state, pts, root_key,
-                                        jnp.float32(temp), jnp.float32(kldw),
-                                        *bn_extra)
-            n_itr += 1
+            if multi_step is not None:
+                pending.append((np.asarray(pts), np.float32(temp),
+                                np.float32(kldw)))
+                n_itr += 1  # the anneals advance per BATCH, not per dispatch
+                if len(pending) < scan_steps:
+                    continue
+                stacked = (
+                    shard_stacked(mesh, jnp.asarray(
+                        np.stack([p for p, _, _ in pending]))),
+                    jnp.asarray([t for _, t, _ in pending]),
+                    jnp.asarray([k for _, _, k in pending]))
+                pending = []
+                state, metrics = multi_step(state, stacked, root_key,
+                                            *bn_extra)
+            else:
+                pts = shard_batch(mesh, jnp.asarray(pts))
+                state, metrics = train_step(state, pts, root_key,
+                                            jnp.float32(temp),
+                                            jnp.float32(kldw), *bn_extra)
+                n_itr += 1
             if GUARD.check(n_itr - start_epoch * steps_per_epoch - start_batch):
                 # graceful preemption: durable mid-epoch ckpt-last with the
                 # data cursor; --resume continues bit-exactly (test_preemption)
@@ -201,9 +233,16 @@ def run_net(args, config, train_writer=None, val_writer=None):
                           f"{epoch} batch {next_batch}; exiting gracefully",
                           logger=logger)
                 return state
-            meters.update([float(metrics["recon"]) * 1000,
-                           float(metrics["kld"]) * 1000])
-            if idx % 100 == 0:
+            # defer the fetch (pretrain-runner rationale): scanned metrics
+            # are K-step means, one meters entry per dispatch
+            metric_pending.append((metrics["recon"], metrics["kld"]))
+            # log every ~100 batches; under scan idx only lands on dispatch
+            # iterations, so fire when the window crossed a 100-batch mark
+            scan_eff = scan_steps if multi_step is not None else 1
+            if (idx // 100) != ((idx - scan_eff) // 100):
+                for r, k in metric_pending:
+                    meters.update([float(r) * 1000, float(k) * 1000])
+                metric_pending = []
                 print_log(
                     f"[Epoch {epoch}][Batch {idx + 1}/{steps_per_epoch}] "
                     f"Losses(x1000) = {[f'{v:.4f}' for v in meters.val()]} "
@@ -214,6 +253,17 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                             meters.val(0), n_itr)
             if max_steps and idx + 1 >= max_steps:
                 break
+        # flush the sub-scan remainder so no batch is dropped and the anneal
+        # cursor n_itr stays aligned with the actual step count
+        for pts, temp, kldw in pending:
+            state, metrics = train_step(
+                state, shard_batch(mesh, jnp.asarray(pts)), root_key,
+                jnp.float32(temp), jnp.float32(kldw), *bn_extra)
+            metric_pending.append((metrics["recon"], metrics["kld"]))
+        pending = []
+        for r, k in metric_pending:  # drain the deferred fetches
+            meters.update([float(r) * 1000, float(k) * 1000])
+        metric_pending = []
         print_log(f"[Epoch {epoch}] EpochTime={time.time() - t0:.1f}s "
                   f"Losses(x1000)={[f'{v:.4f}' for v in meters.avg()]}",
                   logger=logger)

@@ -18,11 +18,12 @@ from act_tpu import ops
 from act_tpu.datasets import transforms as T
 from act_tpu.engine import builder as engine_builder
 from act_tpu.engine import checkpoint as ckpt_lib
-from act_tpu.engine.train_state import TrainState, make_finetune_step, step_rngs
+from act_tpu.engine.train_state import (TrainState, make_finetune_step,
+                                        make_multi_step, step_rngs)
 from act_tpu.models import MODELS
 from act_tpu.models.point_transformer import trainable_mask
 from act_tpu.ops._backend import set_default_kernel_mesh
-from act_tpu.parallel import make_mesh, shard_batch
+from act_tpu.parallel import make_mesh, shard_batch, shard_stacked
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
 from act_tpu.utils.misc import bn_update_ratio, set_random_seed
@@ -119,6 +120,16 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     train_step = make_finetune_step(model, transform_fn=train_transform,
                                     mesh=mesh, trainable_mask=frozen_mask)
+    # --scan_steps K: one host dispatch trains K steps via lax.scan (same
+    # tunnel/dispatch amortization the pretrain runner ships; batches are
+    # (pts, label) tuples, handled by make_multi_step's default body)
+    scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    if smoke:
+        # smoke still runs exactly max_steps (=2) batches; an explicit
+        # --scan_steps >1 exercises the scan path as ONE 2-step dispatch
+        scan_steps = min(scan_steps, 2)
+    multi_step = (make_multi_step(train_step, scan_steps)
+                  if scan_steps > 1 else None)
 
     @jax.jit
     def infer_step(variables, pts):
@@ -150,12 +161,27 @@ def run_net(args, config, train_writer=None, val_writer=None):
                     (jnp.float32(bn_update_ratio(bnm(epoch))),))
         meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
+        pending = []  # host-side stack for scanned multi-step dispatch
+        metric_pending = []  # deferred device scalars (fetched at epoch end)
         for idx, (tax, mid, data) in enumerate(train_loader):
             pts, label = data
-            pts = shard_batch(mesh, jnp.asarray(pts))
-            label = shard_batch(mesh, jnp.asarray(label))
-            state, metrics = train_step(state, pts, label, root_key, *bn_extra)
-            n_step += 1
+            if multi_step is not None:
+                pending.append((np.asarray(pts), np.asarray(label)))
+                if len(pending) < scan_steps:
+                    continue
+                stacked = tuple(
+                    shard_stacked(mesh, jnp.asarray(np.stack(col)))
+                    for col in zip(*pending))
+                pending = []
+                state, metrics = multi_step(state, stacked, root_key,
+                                            *bn_extra)
+                n_step += scan_steps
+            else:
+                pts = shard_batch(mesh, jnp.asarray(pts))
+                label = shard_batch(mesh, jnp.asarray(label))
+                state, metrics = train_step(state, pts, label, root_key,
+                                            *bn_extra)
+                n_step += 1
             if GUARD.check(n_step):
                 # graceful preemption: durable mid-epoch ckpt-last with the
                 # data cursor; --resume continues bit-exactly (test_preemption)
@@ -169,9 +195,25 @@ def run_net(args, config, train_writer=None, val_writer=None):
                           f"{epoch} batch {next_batch}; exiting gracefully",
                           logger=logger)
                 return state
-            meters.update([float(metrics["loss"]), float(metrics["acc"])])
+            # defer the fetch: float(...) per dispatch would block the host
+            # on a device round trip (the pretrain runner's rationale) —
+            # scanned metrics are already K-step means, weight-equal per
+            # dispatch except the remainder, which flushes as single steps
+            metric_pending.append((metrics["loss"], metrics["acc"]))
             if max_steps and idx + 1 >= max_steps:
                 break
+        # flush the sub-scan remainder so no batch is dropped and the
+        # step-based LR schedule stays aligned with the epoch loop
+        for pts, label in pending:
+            state, metrics = train_step(
+                state, shard_batch(mesh, jnp.asarray(pts)),
+                shard_batch(mesh, jnp.asarray(label)), root_key, *bn_extra)
+            n_step += 1
+            metric_pending.append((metrics["loss"], metrics["acc"]))
+        pending = []
+        for l, a in metric_pending:  # drain the deferred fetches
+            meters.update([float(l), float(a)])
+        metric_pending = []
         lr = float(schedule(int(state.step)))
         print_log(f"[Epoch {epoch}] time={time.time() - t0:.1f}s "
                   f"loss={meters.avg(0):.4f} acc={meters.avg(1):.2f} lr={lr:.6f}",

@@ -23,7 +23,8 @@ from act_tpu.engine.train_state import (TrainState, make_multi_step,
                                         make_pretrain_step, step_rngs)
 from act_tpu.models import MODELS
 from act_tpu.ops._backend import set_default_kernel_mesh
-from act_tpu.parallel import make_mesh, shard_batch, is_main_process
+from act_tpu.parallel import (make_mesh, shard_batch, shard_stacked,
+                              is_main_process)
 from act_tpu.utils import AverageMeter
 from act_tpu.utils.logger import print_log
 from act_tpu.utils.misc import bn_update_ratio, set_random_seed
@@ -225,7 +226,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
         trainable_mask=trainable)
     scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
     if smoke:
-        scan_steps = 1  # smoke runs exactly max_steps single steps
+        # smoke still runs exactly max_steps (=2) batches; an explicit
+        # --scan_steps >1 exercises the scan path as ONE 2-step dispatch
+        scan_steps = min(scan_steps, 2)
     multi_step = (make_multi_step(train_step, scan_steps)
                   if scan_steps > 1 else None)
 
@@ -272,7 +275,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 pending.append(np.asarray(pts))
                 if len(pending) < scan_steps:
                     continue
-                stacked = shard_batch(mesh, jnp.asarray(np.stack(pending)))
+                stacked = shard_stacked(mesh, jnp.asarray(np.stack(pending)))
                 pending = []
                 state, metrics = multi_step(state, stacked, root_key,
                                             *bn_extra)

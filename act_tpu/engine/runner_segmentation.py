@@ -24,9 +24,11 @@ from act_tpu.datasets.segmentation_datasets import (
     NUM_PART_CLASSES, NUM_SHAPE_CATEGORIES, S3DIS_NUM_CLASSES)
 from act_tpu.engine import checkpoint as ckpt_lib
 from act_tpu.engine.builder import build_schedule
-from act_tpu.engine.train_state import TrainState, step_rngs, _with_kernel_mesh
+from act_tpu.engine.train_state import (TrainState, make_multi_step,
+                                        step_rngs, _with_kernel_mesh)
 from act_tpu.ops._backend import set_default_kernel_mesh
-from act_tpu.parallel import (DATA_AXIS, make_mesh, replicate, shard_batch)
+from act_tpu.parallel import (DATA_AXIS, make_mesh, replicate, shard_batch,
+                              shard_stacked)
 from jax.sharding import NamedSharding, PartitionSpec as P
 from act_tpu.models import MODELS
 from act_tpu.models.segmentation import nll_seg_loss
@@ -202,6 +204,15 @@ def run_partseg(args, logger=None):
         return state.replace(batch_stats=new_vars["batch_stats"]), loss
 
     train_step = jax.jit(_with_kernel_mesh(train_step, mesh))
+    # --scan_steps K: one host dispatch trains K steps (pretrain-runner
+    # pattern); batches are (pts, one_hot, seg) tuples
+    scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    if getattr(args, "smoke", False):
+        # smoke still runs exactly max_steps (=2) batches; an explicit
+        # --scan_steps >1 exercises the scan path as ONE 2-step dispatch
+        scan_steps = min(scan_steps, 2)
+    multi_step = (make_multi_step(train_step, scan_steps)
+                  if scan_steps > 1 else None)
 
     @jax.jit
     def infer_fn(variables, pts, one_hot):
@@ -214,17 +225,36 @@ def run_partseg(args, logger=None):
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        losses = []
+        losses = []  # device scalars; fetched once at epoch end
+        pending = []
         for idx, (pts, cls, seg) in enumerate(train_loader):
             pts = _np_augment(np_rng, np.asarray(pts)[..., :3])
             one_hot = np.eye(NUM_SHAPE_CATEGORIES, dtype=np.float32)[cls]
-            state, loss = train_step(state, shard_batch(mesh, jnp.asarray(pts)),
-                                     shard_batch(mesh, jnp.asarray(one_hot)),
-                                     shard_batch(mesh, jnp.asarray(seg)),
-                                     root_key)
-            losses.append(float(loss))
+            if multi_step is not None:
+                pending.append((pts, one_hot, np.asarray(seg)))
+                if len(pending) < scan_steps:
+                    continue
+                stacked = tuple(
+                    shard_stacked(mesh, jnp.asarray(np.stack(col)))
+                    for col in zip(*pending))
+                pending = []
+                state, loss = multi_step(state, stacked, root_key)
+            else:
+                state, loss = train_step(
+                    state, shard_batch(mesh, jnp.asarray(pts)),
+                    shard_batch(mesh, jnp.asarray(one_hot)),
+                    shard_batch(mesh, jnp.asarray(seg)), root_key)
+            losses.append(loss)
             if max_steps and idx + 1 >= max_steps:
                 break
+        for pts, one_hot, seg in pending:  # sub-scan remainder flush
+            state, loss = train_step(
+                state, shard_batch(mesh, jnp.asarray(pts)),
+                shard_batch(mesh, jnp.asarray(one_hot)),
+                shard_batch(mesh, jnp.asarray(seg)), root_key)
+            losses.append(loss)
+        pending = []
+        losses = [float(l) for l in losses]
         print_log(f"[PartSeg][Epoch {epoch}] loss={np.mean(losses):.4f} "
                   f"time={time.time() - t0:.1f}s", logger=logger)
         metrics = evaluate_partseg(infer_fn, state.variables(),
@@ -299,6 +329,15 @@ def run_semseg(args, logger=None):
         return state.replace(batch_stats=new_vars["batch_stats"]), loss
 
     train_step = jax.jit(_with_kernel_mesh(train_step, mesh))
+    # --scan_steps K: one host dispatch trains K steps (pretrain-runner
+    # pattern); batches are (pts, seg) tuples
+    scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
+    if getattr(args, "smoke", False):
+        # smoke still runs exactly max_steps (=2) batches; an explicit
+        # --scan_steps >1 exercises the scan path as ONE 2-step dispatch
+        scan_steps = min(scan_steps, 2)
+    multi_step = (make_multi_step(train_step, scan_steps)
+                  if scan_steps > 1 else None)
 
     @jax.jit
     def infer_fn(variables, pts):
@@ -310,15 +349,33 @@ def run_semseg(args, logger=None):
     epochs = 1 if getattr(args, "smoke", False) else int(args.epoch)
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
-        losses = []
+        losses = []  # device scalars; fetched once at epoch end
+        pending = []
         for idx, (pts, seg) in enumerate(train_loader):
             pts = _np_augment(np_rng, np.asarray(pts))
-            state, loss = train_step(state, shard_batch(mesh, jnp.asarray(pts)),
-                                     shard_batch(mesh, jnp.asarray(seg)),
-                                     root_key)
-            losses.append(float(loss))
+            if multi_step is not None:
+                pending.append((pts, np.asarray(seg)))
+                if len(pending) < scan_steps:
+                    continue
+                stacked = tuple(
+                    shard_stacked(mesh, jnp.asarray(np.stack(col)))
+                    for col in zip(*pending))
+                pending = []
+                state, loss = multi_step(state, stacked, root_key)
+            else:
+                state, loss = train_step(
+                    state, shard_batch(mesh, jnp.asarray(pts)),
+                    shard_batch(mesh, jnp.asarray(seg)), root_key)
+            losses.append(loss)
             if max_steps and idx + 1 >= max_steps:
                 break
+        for pts, seg in pending:  # sub-scan remainder flush
+            state, loss = train_step(
+                state, shard_batch(mesh, jnp.asarray(pts)),
+                shard_batch(mesh, jnp.asarray(seg)), root_key)
+            losses.append(loss)
+        pending = []
+        losses = [float(l) for l in losses]
         print_log(f"[SemSeg][Epoch {epoch}] loss={np.mean(losses):.4f}",
                   logger=logger)
         metrics = evaluate_semseg(infer_fn, state.variables(),

@@ -170,7 +170,8 @@ def make_pretrain_step(model, transform_fn: Optional[Callable] = None,
     return jax.jit(_with_kernel_mesh(train_step, mesh), donate_argnums=(0,))
 
 
-def make_multi_step(train_step: Callable, num_steps: int) -> Callable:
+def make_multi_step(train_step: Callable, num_steps: int,
+                    call: Optional[Callable] = None) -> Callable:
     """Wrap a jitted train step in a lax.scan over ``num_steps`` stacked batches,
     so one host dispatch trains K steps.
 
@@ -178,15 +179,24 @@ def make_multi_step(train_step: Callable, num_steps: int) -> Callable:
     jitted TPU step pays one host round trip per step — ruinous over a tunneled
     chip (~100ms) and still wasteful (~100us) in production. With scan, host
     involvement is 1/K per step. Batches: pytree with leading (K, ...) axes.
+
+    The default body calls ``train_step(state, *batch, base_key, *extra)``
+    (tuple batches unpack positionally before the key — fits the pretrain,
+    finetune, and segmentation step signatures). Steps whose per-step scanned
+    inputs come AFTER the key (e.g. the autoencoder's annealed temp/kld
+    scalars) pass ``call(state, batch, base_key, extra)`` to reorder.
     """
 
-    def multi_step(state, stacked_batches, base_key, bn_ratio=1.0):
+    def default_call(st, batch, base_key, extra):
+        if isinstance(batch, (tuple, list)):
+            return train_step(st, *batch, base_key, *extra)
+        return train_step(st, batch, base_key, *extra)
+
+    body_call = call or default_call
+
+    def multi_step(state, stacked_batches, base_key, *extra):
         def body(carry, batch):
-            st = carry
-            if isinstance(batch, (tuple, list)):
-                st, metrics = train_step(st, *batch, base_key, bn_ratio)
-            else:
-                st, metrics = train_step(st, batch, base_key, bn_ratio)
+            st, metrics = body_call(carry, batch, base_key, extra)
             return st, metrics
 
         state, metrics = jax.lax.scan(body, state, stacked_batches)

@@ -53,6 +53,24 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_stacked(mesh: Mesh, batch):
+    """Place a K-stacked multi-step batch pytree ((K, B, ...) leaves) onto the
+    mesh: scan axis K replicated, batch axis B split across 'data'.
+
+    Sharding the LEADING axis (plain shard_batch) would split the scan axis —
+    each scanned step's whole batch would live on one device and GSPMD would
+    reshard it to batch-parallel inside every loop iteration.
+    """
+    spec = P(None, DATA_AXIS)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                x, mesh, spec), batch)
+    s = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)

@@ -27,6 +27,9 @@ def parse_args():
     parser.add_argument("--num_group", type=int, default=128)
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                         help="matmul/conv activation dtype (stats/losses f32)")
+    parser.add_argument("--scan_steps", type=int, default=1,
+                        help="train steps fused per host dispatch via "
+                             "lax.scan (amortizes dispatch latency)")
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--mesh_model_parallel", type=int, default=1,
                         help="tensor-parallel mesh axis (like main.py)")

@@ -327,6 +327,30 @@ class TestRunnerSmoke:
                   "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
                   "--exp_name", "ci_smoke", "--smoke")
 
+    def test_pretrain_smoke_scan_dispatch(self):
+        """--scan_steps under smoke: 2 steps as ONE scanned dispatch through
+        the (K, B, N, 3) shard_stacked layout (scan axis replicated)."""
+        self._run("main.py", "--config",
+                  "cfgs/pretrain/pretrain_act_distill.yaml",
+                  "--exp_name", "ci_smoke_scan", "--smoke",
+                  "--scan_steps", "2")
+
+    def test_finetune_smoke_scan_dispatch(self):
+        """--scan_steps reaches the finetune runner: the smoke's 2 steps run
+        as ONE lax.scan dispatch (tuple (pts, label) batches)."""
+        self._run("main.py", "--config",
+                  "cfgs/finetune_classification/full/finetune_scan_hardest.yaml",
+                  "--exp_name", "ci_smoke_scan", "--smoke", "--finetune_model",
+                  "--scan_steps", "2")
+
+    def test_autoencoder_smoke_scan_dispatch(self):
+        """--scan_steps reaches the Stage-I runner: per-step annealed
+        temp/kld scalars ride the scan as stacked inputs."""
+        self._run("main_autoencoder.py", "--config",
+                  "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
+                  "--exp_name", "ci_smoke_scan", "--smoke",
+                  "--scan_steps", "2")
+
 
 class TestMultiStep:
     def test_scanned_steps_match_sequential(self):
@@ -371,6 +395,101 @@ class TestMultiStep:
         d = jax.tree_util.tree_map(
             lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
         assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+    def test_scanned_finetune_tuple_batches(self):
+        """(pts, label) tuple batches unpack positionally BEFORE the key —
+        the finetune runner's scan dispatch (K scanned == K sequential)."""
+        from act_tpu.engine.train_state import (TrainState, make_finetune_step,
+                                                make_multi_step)
+        from act_tpu.models import MODELS
+        from act_tpu.utils.config import ConfigDict
+        import optax
+
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.0,
+            cls_dim=6, num_heads=4, group_size=8, num_group=16,
+            encoder_dims=32, transfer_type="full", scan=False))
+        model = MODELS.build(cfg)
+        key = jax.random.PRNGKey(3)
+        rng = np.random.default_rng(3)
+        K, B = 3, 4
+        pts = jnp.asarray(rng.normal(size=(K, B, 128, 3)), jnp.float32)
+        labels = jnp.asarray(rng.integers(0, 6, size=(K, B)), jnp.int32)
+        variables = model.init(dict(params=key, dropout=key, droppath=key),
+                               pts[0])
+        step = make_finetune_step(model)
+        tx = optax.adamw(1e-3)
+
+        s1 = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        losses = []
+        for k in range(K):
+            s1, m = step(s1, pts[k], labels[k], key)
+            losses.append(float(m["loss"]))
+
+        s2 = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        multi = make_multi_step(step, K)
+        s2, m2 = multi(s2, (pts, labels), key)
+        np.testing.assert_allclose(float(m2["loss"]), np.mean(losses),
+                                   rtol=1e-4)
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
+        assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+    def test_scanned_autoencoder_custom_call(self):
+        """The dVAE step's annealed temp/kld scalars sit AFTER the key — the
+        autoencoder runner reorders via make_multi_step's `call` hook; the
+        scanned run must consume the exact per-step anneal values."""
+        from act_tpu.engine.train_state import (TrainState,
+                                                make_autoencoder_step,
+                                                make_multi_step)
+        from act_tpu.models import MODELS
+        from act_tpu.utils.config import ConfigDict
+        import optax
+
+        cfg = ConfigDict(dict(NAME="DiscreteVAE", group_size=8, num_group=16,
+                              encoder_dims=32, num_tokens=64, tokens_dims=32,
+                              decoder_dims=32))
+        model = MODELS.build(cfg)
+        key = jax.random.PRNGKey(5)
+        rng = np.random.default_rng(5)
+        K, B = 3, 4
+        pts = jnp.asarray(rng.normal(size=(K, B, 128, 3)), jnp.float32)
+        temps = jnp.asarray([1.0, 0.7, 0.4], jnp.float32)
+        klds = jnp.asarray([0.0, 0.05, 0.1], jnp.float32)
+        variables = model.init(dict(params=key, gumbel=key, dropout=key,
+                                    droppath=key, mask=key), pts[0])
+        step = make_autoencoder_step(model)
+        tx = optax.adamw(1e-3)
+
+        s1 = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        recons = []
+        for k in range(K):
+            s1, m = step(s1, pts[k], key, temps[k], klds[k])
+            recons.append(float(m["recon"]))
+
+        s2 = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        multi = make_multi_step(
+            step, K,
+            call=lambda st, batch, k, extra: step(
+                st, batch[0], k, batch[1], batch[2], *extra))
+        s2, m2 = multi(s2, (pts, temps, klds), key)
+        np.testing.assert_allclose(float(m2["recon"]), np.mean(recons),
+                                   rtol=1e-4)
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
+        assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+    def test_shard_stacked_replicates_scan_axis(self):
+        """Stacked (K, B, ...) dispatch batches shard axis 1 ('data'), never
+        the scan axis — sharding K would park each scanned step's whole batch
+        on one device and force a per-iteration reshard inside the loop."""
+        from act_tpu.parallel import make_mesh, shard_stacked
+        mesh = make_mesh()
+        tree = (jnp.zeros((4, 8, 16, 3)), jnp.zeros((4, 8), jnp.int32))
+        out = shard_stacked(mesh, tree)
+        for leaf in jax.tree_util.tree_leaves(out):
+            spec = tuple(leaf.sharding.spec)
+            assert spec[0] is None and spec[1] == "data", (leaf.shape, spec)
 
 
 class TestTensorParallel:

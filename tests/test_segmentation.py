@@ -204,6 +204,24 @@ class TestSegRunnerMeshSmoke:
         miou, state, model = run_semseg(self._args(tmp_path, test_area=5))
         assert 0.0 <= miou <= 1.0
 
+    def test_partseg_scan_dispatch_smoke(self, tmp_path):
+        """--scan_steps 2 under smoke: the partseg loop's (pts, one_hot, seg)
+        stacked dispatch compiles and trains."""
+        from act_tpu.engine.runner_segmentation import run_partseg
+        miou = run_partseg(self._args(tmp_path, scan_steps=2))
+        assert 0.0 <= miou <= 1.0
+
+    def test_semseg_scan_dispatch_matches_single(self, tmp_path):
+        """--scan_steps 2 under smoke trains the same 2 batches as ONE
+        lax.scan dispatch; final params must match the two single-step
+        dispatches (same seed, same loader order, same step rngs)."""
+        from act_tpu.engine.runner_segmentation import run_semseg
+        _, s1, _ = run_semseg(self._args(tmp_path, test_area=5))
+        _, s2, _ = run_semseg(self._args(tmp_path, test_area=5, scan_steps=2))
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
+        assert max(jax.tree_util.tree_leaves(d)) < 1e-4
+
     def test_whole_scene_eval_batched_equals_per_block(self, tmp_path):
         """Block batching is a dispatch optimization, not a protocol change:
         eval_batch_size=16 must reproduce the B=1 votes bit-for-bit (the
