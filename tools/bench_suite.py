@@ -5,6 +5,8 @@ this suite covers the rest of the framework's hot paths so regressions
 anywhere are visible:
 
   - stage2_pretrain : ACT_PointDistillation train step (same as bench.py)
+  - stage2_pointbert: ACT_PointBERT train step (MoCo queue + EMA + mixup,
+                      the alternate Stage-II graph; B=128, K=16384)
   - stage1_dvae     : ACTPromptedDiscreteVAEwithVIT train step (B=64, N=1024)
   - finetune_cls    : PointTransformer train step incl. the FPS-resample
                       augment from 8192 points (B=32, scan_hardest config)
@@ -128,6 +130,51 @@ def setup_pretrain():
     state = replicate(mesh, TrainState.create(variables, tx))
     step = make_pretrain_step(model, transform_fn=T.scale_and_translate,
                               mesh=mesh, trainable_mask=trainable)
+    mk = _device_normal((B, 1024, 3))
+    return step, state, mk, (), B
+
+
+def setup_pointbert():
+    """ACT_PointBERT Stage-II at Point-BERT's published pretrain scale
+    (reference models/act.py:913-1095; no yaml ships in the reference — the
+    hyperparameters mirror Point-BERT's: B=128, MoCo K=16384, m=0.999,
+    T=0.07, mask_ratio [0.25, 0.45], dvae+cutmix losses)."""
+    import jax, jax.numpy as jnp
+    import __graft_entry__ as ge
+    from act_tpu.models import MODELS
+    from act_tpu.parallel import make_mesh, replicate
+    from act_tpu.engine.train_state import TrainState, make_pretrain_step
+    from act_tpu.engine.builder import (build_optimizer, cast_frozen_bf16,
+                                        freeze_mask_from_paths)
+    from act_tpu.datasets import transforms as T
+    from act_tpu.utils.config import ConfigDict
+    B = 128
+    cfg = ge._pretrain_cfg(tiny=False)
+    cfg.NAME = "ACT_PointBERT"
+    cfg.m, cfg.T, cfg.K = 0.999, 0.07, 16384
+    cfg.transformer_config.mask_ratio = [0.25, 0.45]
+    cfg.transformer_config.moco_loss = False
+    cfg.transformer_config.dvae_loss = True
+    cfg.transformer_config.cutmix_loss = True
+    model = MODELS.build(cfg)
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(B, 1024, 3)), jnp.float32)
+    variables = jax.jit(lambda: model.init(ge._rngs(), pts))()
+    tcfg = ConfigDict(dict(
+        optimizer=dict(type="AdamW", kwargs=dict(lr=1e-3, weight_decay=0.05)),
+        scheduler=dict(type="CosLR", kwargs=dict(epochs=300, initial_epochs=10)),
+        step_per_update=1))
+    trainable = freeze_mask_from_paths(variables["params"],
+                                       ["'dvae'", "transformer_k"])
+    variables = {**variables,
+                 "params": cast_frozen_bf16(variables["params"], ["'dvae'"])}
+    tx, _ = build_optimizer(tcfg, variables["params"], 100, trainable)
+    state = replicate(mesh, TrainState.create(variables, tx))
+    step = make_pretrain_step(model, transform_fn=T.scale_and_translate,
+                              mesh=mesh, loss_is_tuple=True,
+                              ema_momentum=float(cfg.m),
+                              trainable_mask=trainable)
     mk = _device_normal((B, 1024, 3))
     return step, state, mk, (), B
 
@@ -374,11 +421,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCHMARKS.md")
     ap.add_argument("--only", default=None,
-                    help="comma-separated workload keys (pretrain,dvae,"
-                         "finetune,partseg,semseg,ops) — skipped rows keep "
-                         "their previous values from --out if it exists")
+                    help="comma-separated workload keys (pretrain,pointbert,"
+                         "dvae,finetune,partseg,semseg,ops) — skipped rows "
+                         "keep their previous values from --out if it exists")
     args = ap.parse_args()
-    KNOWN = {"pretrain", "dvae", "finetune", "partseg", "semseg", "ops"}
+    KNOWN = {"pretrain", "pointbert", "dvae", "finetune", "partseg",
+             "semseg", "ops"}
     only = set(args.only.split(",")) if args.only else None
     if only is not None and only - KNOWN:
         raise SystemExit(f"unknown --only keys {sorted(only - KNOWN)}; "
@@ -435,6 +483,13 @@ def main():
             bench_train_step(step, state, mk, extra), B)
     else:
         keep("Stage-II pretrain step (ACT_PointDistillation)")
+
+    if want("pointbert"):
+        step, state, mk, extra, B = setup_pointbert()
+        row("Stage-II PointBERT step (MoCo K=16384 + mixup)",
+            bench_train_step(step, state, mk, extra), B)
+    else:
+        keep("Stage-II PointBERT step (MoCo K=16384 + mixup)")
 
     if want("dvae"):
         step, state, mk, extra, B = setup_dvae()

@@ -25,11 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def capture_workload(trace_dir: str, workload: str, steps: int = 3) -> None:
     """Profile any bench_suite workload:
-    PROFILE_WORKLOAD=dvae|finetune|partseg|semseg."""
+    PROFILE_WORKLOAD=pointbert|dvae|finetune|partseg|semseg."""
     import jax
     import jax.numpy as jnp
     import tools.bench_suite as bs
-    if workload == "dvae":
+    if workload == "pointbert":
+        step, state, mk, extra, B = bs.setup_pointbert()
+    elif workload == "dvae":
         step, state, mk, extra, B = bs.setup_dvae()
     elif workload == "finetune":
         step, state, mk, extra, B, _, _ = bs.setup_finetune()
