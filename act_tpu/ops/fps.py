@@ -96,14 +96,15 @@ def _fps_pallas(points: jax.Array, n_samples: int) -> jax.Array:
 
 
 def _fps_kernel_batched(n_points: int, n_samples: int,
-                        x_ref, y_ref, z_ref, out_ref, dist_ref):
+                        x_ref, y_ref, z_ref, s_ref, out_ref, dist_ref):
     """Batch-vectorized FPS: a chunk of rows lives in the sublane axis and every
     per-step operation (distance update, row-wise argmax, center extraction via
     one-hot reduction, index write) is a full-width VPU op. The S-step loop is
     the only sequential dependency — S iterations total per chunk, vs S*rows
     grid steps for the row-at-a-time kernel.
 
-    x/y/z_ref: (Bc, Npad) f32; out_ref: (Bc, Spad) int32;
+    x/y/z_ref: (Bc, Npad) f32; s_ref: (Bc, 128) int32 per-row start indices
+    (lane 0 carries the value); out_ref: (Bc, Spad) int32;
     dist_ref: (Bc, Npad) f32 scratch.
     """
     bc, npad = x_ref.shape
@@ -148,9 +149,10 @@ def _fps_kernel_batched(n_points: int, n_samples: int,
         cx, cy, cz = select_coords(nxt)
         return cx, cy, cz, buf
 
-    zero = jnp.zeros((bc, 1), jnp.int32)
-    cx, cy, cz = select_coords(zero)
-    init = (cx, cy, cz, jnp.zeros((bc, 128), jnp.int32))
+    start = s_ref[:, 0:1]  # (Bc, 1) per-row start index (default all-zero)
+    cx, cy, cz = select_coords(start)
+    init = (cx, cy, cz,
+            jnp.where(blane == 0, start, jnp.zeros((bc, 128), jnp.int32)))
     *_, buf = jax.lax.fori_loop(1, n_samples, body, init, unroll=False)
     # tail flush: the last (possibly partial) 128-block; sample 0 (= index 0)
     # rides along in lane 0 of block 0 when n_samples <= 128
@@ -159,7 +161,8 @@ def _fps_kernel_batched(n_points: int, n_samples: int,
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
-def _fps_pallas_batched(points: jax.Array, n_samples: int) -> jax.Array:
+def _fps_pallas_batched(points: jax.Array, n_samples: int,
+                        start_idx: jax.Array | None = None) -> jax.Array:
     B, N, _ = points.shape
     npad = round_up(N, 128)
     spad = round_up(n_samples, 128)
@@ -175,27 +178,39 @@ def _fps_pallas_batched(points: jax.Array, n_samples: int) -> jax.Array:
     points = jax.lax.stop_gradient(points).astype(jnp.float32)
     planes = [jnp.pad(points[:, :, i], ((0, bpad - B), (0, npad - N)))
               for i in range(3)]
+    if start_idx is None:
+        start_idx = jnp.zeros((B,), jnp.int32)
+    start_plane = jnp.pad(start_idx.astype(jnp.int32)[:, None],
+                          ((0, bpad - B), (0, 127)))  # (bpad, 128), lane 0
 
     out = pl.pallas_call(
         partial(_fps_kernel_batched, N, n_samples),
         grid=(bpad // chunk,),
         in_specs=[pl.BlockSpec((chunk, npad), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM)] * 3,
+                               memory_space=pltpu.VMEM)] * 3
+                 + [pl.BlockSpec((chunk, 128), lambda b: (b, 0),
+                                 memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((chunk, spad), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bpad, spad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((chunk, npad), jnp.float32)],
         interpret=interpret_flag(),
-    )(*planes)
+    )(*planes, start_plane)
     return out[:B, :n_samples]
 
 
-def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
+def furthest_point_sample(points: jax.Array, n_samples: int,
+                          start_idx=None) -> jax.Array:
     """points: (B, N, 3) -> (B, n_samples) int32 indices.
 
     Batch-in-sublanes Pallas kernel on TPU; pure-XLA ``fori_loop`` reference
-    elsewhere. The start point is index 0, matching the reference CUDA
-    kernel's deterministic start. Index-exact vs the reference impl.
+    elsewhere. ``start_idx``: None/0 (default) starts at index 0, matching the
+    reference CUDA kernel's deterministic start; a scalar or per-cloud (B,)
+    int32 array seeds the greedy walk — the reference's pure torch/numpy
+    fallbacks use a random start
+    (part_segmentation/models/pointnet2_utils.py:72), reproduced by passing
+    ``jax.random.randint(key, (B,), 0, N)``. Index-exact vs the reference impl
+    at every start.
 
     Perf note: the batched kernel's per-step reductions are expressed as
     max + min-index-of-max (plain VPU reductions); with a per-row lane
@@ -203,10 +218,19 @@ def furthest_point_sample(points: jax.Array, n_samples: int) -> jax.Array:
     than the row-grid kernel — with the rewrite it profiles ~87x faster
     (0.05ms vs 4.2ms at B=128, N=1024, S=64 on v5e).
     """
+    if start_idx is not None:
+        start_idx = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32),
+                                     (points.shape[0],))
     if use_pallas():
         mesh = current_kernel_mesh()
         if mesh is not None:
+            if start_idx is None:
+                return shard_over_batch(
+                    mesh, lambda p: _fps_pallas_batched(p, n_samples), points)
             return shard_over_batch(
-                mesh, lambda p: _fps_pallas_batched(p, n_samples), points)
-        return _fps_pallas_batched(points, n_samples)
-    return furthest_point_sample_ref(points, n_samples)
+                mesh, lambda p, s: _fps_pallas_batched(p, n_samples, s),
+                points, start_idx)
+        return _fps_pallas_batched(points, n_samples, start_idx)
+    if start_idx is None:
+        return furthest_point_sample_ref(points, n_samples)
+    return furthest_point_sample_ref(points, n_samples, start_idx)

@@ -29,14 +29,19 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     return d
 
 
-@partial(jax.jit, static_argnames=("n_samples", "start_idx"))
+@partial(jax.jit, static_argnames=("n_samples",))
 def furthest_point_sample_ref(points: jax.Array, n_samples: int,
-                              start_idx: int = 0) -> jax.Array:
+                              start_idx=0) -> jax.Array:
     """Greedy farthest-point sampling. points: (B, N, 3) -> (B, n_samples) int32.
 
-    Deterministic start index (the reference CUDA kernel starts at 0).
+    ``start_idx``: scalar or per-cloud (B,) start indices. The default 0
+    matches the reference CUDA kernel's deterministic start; the reference's
+    pure torch/numpy fallbacks use a random start
+    (part_segmentation/models/pointnet2_utils.py:72) — pass
+    ``jax.random.randint(key, (B,), 0, N)`` for that behavior.
     """
     B, N, _ = points.shape
+    start = jnp.broadcast_to(jnp.asarray(start_idx, jnp.int32), (B,))
 
     def body(i, state):
         dists, idxs, last = state  # dists: (B,N), last: (B,3)
@@ -47,8 +52,8 @@ def furthest_point_sample_ref(points: jax.Array, n_samples: int,
         last = jnp.take_along_axis(points, nxt[:, None, None], axis=1)[:, 0, :]
         return dists, idxs, last
 
-    idxs0 = jnp.zeros((B, n_samples), jnp.int32).at[:, 0].set(start_idx)
-    last0 = points[:, start_idx, :]
+    idxs0 = jnp.zeros((B, n_samples), jnp.int32).at[:, 0].set(start)
+    last0 = jnp.take_along_axis(points, start[:, None, None], axis=1)[:, 0, :]
     dists0 = jnp.full((B, N), jnp.inf, points.dtype)
     _, idxs, _ = jax.lax.fori_loop(1, n_samples, body, (dists0, idxs0, last0))
     return idxs

@@ -252,6 +252,29 @@ class TestPallasInterpret:
         want = np.asarray(ops.furthest_point_sample_ref(pts, 16))
         np.testing.assert_array_equal(got, want)
 
+    def test_fps_seeded_start_matches_ref(self, rng):
+        """Seedable start (SURVEY §2.1): per-cloud random start indices give
+        index-exact parity between the batched Pallas kernel and the pure-XLA
+        reference, and a nonzero start changes the walk."""
+        pts = jnp.asarray(rng.normal(size=(3, 200, 3)).astype(np.float32))
+        start = jnp.asarray(rng.integers(0, 200, size=(3,)), jnp.int32)
+        got = np.asarray(ops.furthest_point_sample(pts, 16, start_idx=start))
+        want = np.asarray(ops.furthest_point_sample_ref(pts, 16, start))
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got[:, 0], np.asarray(start))
+        # a long-enough sample list (beyond one 128-lane flush block) keeps
+        # the start in lane 0 of block 0 across the rolling-buffer flushes
+        got_long = np.asarray(ops.furthest_point_sample(pts, 130,
+                                                        start_idx=start))
+        want_long = np.asarray(ops.furthest_point_sample_ref(pts, 130, start))
+        np.testing.assert_array_equal(got_long, want_long)
+        # scalar start broadcasts; default stays the CUDA-parity index 0
+        got_s = np.asarray(ops.furthest_point_sample(pts, 16, start_idx=5))
+        np.testing.assert_array_equal(got_s[:, 0], np.full(3, 5))
+        base = np.asarray(ops.furthest_point_sample(pts, 16))
+        np.testing.assert_array_equal(
+            base, np.asarray(ops.furthest_point_sample_ref(pts, 16)))
+
     def test_k_smallest_matches_topk(self, rng):
         from act_tpu.ops.topk import k_smallest_pallas
         for (B, S, N, k) in [(2, 64, 1024, 32), (1, 9, 777, 3),
