@@ -281,7 +281,13 @@ def make_vote_logits(model, npoints):
     @jax.jit
     def vote_logits(variables, pts, keys):
         """All vote rounds in one program: scan over per-vote keys, summing
-        softmaxed logits (one dispatch per batch instead of `times`)."""
+        softmaxed logits (one dispatch per batch instead of `times`).
+
+        keys (times, 2) -> (B, C) summed probs; keys (R, times, 2) -> (R, B, C)
+        — an outer scan over R test-vote rounds with the identical per-round
+        body, so the 300-round test protocol (reference runner_finetune.py
+        :425-432) pays one tunnel dispatch per R-chunk instead of per round.
+        """
 
         def one_vote(acc, key):
             k1, k2 = jax.random.split(key)
@@ -289,9 +295,16 @@ def make_vote_logits(model, npoints):
             p = T.scale_and_translate(k2, p)
             return acc + jax.nn.softmax(model.apply(variables, p), axis=-1), None
 
-        # first vote establishes the accumulator shape, scan adds the rest
-        first, _ = one_vote(0.0, keys[0])
-        acc, _ = jax.lax.scan(one_vote, first, keys[1:])
+        def one_round(_, round_keys):
+            # first vote establishes the accumulator shape, scan adds the rest
+            first, _ = one_vote(0.0, round_keys[0])
+            acc, _ = jax.lax.scan(one_vote, first, round_keys[1:])
+            return None, acc
+
+        if keys.ndim == 3:
+            _, accs = jax.lax.scan(one_round, None, keys)
+            return accs
+        _, acc = one_round(None, keys)
         return acc
 
     return vote_logits
@@ -344,16 +357,58 @@ def test_net(args, config):
     acc = validate(model, state, test_loader, infer_step, logger)
     print_log(f"[TEST] OA = {acc.acc:.4f}", logger=logger)
     if getattr(args, "vote", False):
-        # best-of-N vote rounds (reference test :425-432 runs 300)
+        # best-of-N vote rounds (reference test :425-432 runs 300), with the
+        # rounds scanned into chunked dispatches: per round the sequential
+        # protocol paid one ~25ms tunnel dispatch per test batch (~7.5s pure
+        # dispatch overhead per full run); chunking 50 rounds into one scanned
+        # program cuts that 50x with per-round accuracies unchanged
+        # (tests/test_engine.py TestVoteRoundsScan pins equality)
         rounds = 2 if smoke else 300
+        accs = test_vote_rounds(model, state, test_loader, npoints, root_key,
+                                logger, rounds=rounds)
         best = 0.0
-        vote_fn = make_vote_logits(model, npoints)
-        for r in range(rounds):
-            key = jax.random.fold_in(root_key, r)
-            a = validate_vote(model, state, test_loader, npoints, key, logger,
-                              times=10, vote_logits=vote_fn)
-            best = max(best, a)
+        for r, a in enumerate(accs):
+            best = max(best, float(a))
             print_log(f"[TEST_VOTE] round {r} acc={a:.4f} best={best:.4f}",
                       logger=logger)
         acc.vote = best  # best-of-rounds vote OA (tools/parity_protocol.py)
     return acc
+
+
+def test_vote_rounds(model, state, loader, npoints, root_key, logger,
+                     rounds: int, times: int = 10, round_chunk: int = 50,
+                     vote_logits=None) -> np.ndarray:
+    """Per-round vote accuracies for the best-of-N test protocol (reference
+    runner_finetune.py:425-432), rounds batched into scanned dispatches.
+
+    Key schedule is identical to running ``validate_vote`` once per round with
+    ``fold_in(root_key, r)``: per (round r, batch i) the vote keys are
+    ``split(fold_in(fold_in(root_key, r), i), times)``. Returns (rounds,) OA%.
+    """
+    from act_tpu.parallel import gather_concat
+    variables = state.variables()
+    if vote_logits is None:
+        vote_logits = make_vote_logits(model, npoints)
+    round_chunk = max(1, min(round_chunk, rounds))
+
+    preds_batches, label_batches = [], []
+    for i, (tax, mid, data) in enumerate(loader):
+        pts, label = data
+        pts = jnp.asarray(pts)
+        per_batch = []
+        for c0 in range(0, rounds, round_chunk):
+            rs = range(c0, min(c0 + round_chunk, rounds))
+            keys = jnp.stack([jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(root_key, r), i), times)
+                for r in rs])  # (Rc, times, 2)
+            acc_logits = vote_logits(variables, pts, keys)  # (Rc, b, C)
+            per_batch.append(np.asarray(jnp.argmax(acc_logits, -1)))
+        preds_batches.append(np.concatenate(per_batch, axis=0))  # (rounds, b)
+        label_batches.append(np.asarray(label))
+    if not preds_batches:
+        return np.zeros((rounds,), np.float64)
+    # (n_local, rounds) so the cross-process gather concatenates samples on
+    # axis 0 exactly like the per-round protocol does
+    preds = gather_concat(np.concatenate(preds_batches, axis=1).T)
+    labels = gather_concat(np.concatenate(label_batches))
+    return (preds == labels[:, None]).mean(axis=0) * 100.0

@@ -492,6 +492,68 @@ class TestMultiStep:
             assert spec[0] is None and spec[1] == "data", (leaf.shape, spec)
 
 
+class TestVoteRoundsScan:
+    """The chunked-rounds test-vote protocol (runner_finetune.test_vote_rounds)
+    must reproduce the sequential one-validate_vote-per-round protocol exactly:
+    same key schedule, bit-equal summed vote logits, identical per-round OA."""
+
+    def _setup(self):
+        from act_tpu.models import MODELS
+        from act_tpu.engine.train_state import TrainState
+        from act_tpu.utils.config import ConfigDict
+        import optax
+
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.0,
+            cls_dim=6, num_heads=4, group_size=8, num_group=16,
+            encoder_dims=32, transfer_type="full"))
+        model = MODELS.build(cfg)
+        rng = np.random.default_rng(7)
+        npoints = 128
+        k = jax.random.PRNGKey(0)
+        sample = jnp.zeros((2, npoints, 3), jnp.float32)
+        variables = model.init(dict(params=k, dropout=k, droppath=k), sample)
+        state = TrainState.create(variables, optax.adamw(1e-3))
+        loader = [(None, None,
+                   (rng.normal(size=(4, 1200, 3)).astype(np.float32),
+                    rng.integers(0, 6, size=(4,)).astype(np.int64)))
+                  for _ in range(2)]
+        return model, state, loader, npoints
+
+    def test_scanned_rounds_match_sequential(self):
+        from act_tpu.engine.runner_finetune import (make_vote_logits,
+                                                    test_vote_rounds,
+                                                    validate_vote)
+        model, state, loader, npoints = self._setup()
+        rounds, times = 3, 4
+        root_key = jax.random.PRNGKey(11)
+        vote_fn = make_vote_logits(model, npoints)
+
+        # bit-equal logits: the (R, times, 2) scanned program vs R separate
+        # (times, 2) dispatches, per batch
+        variables = state.variables()
+        for i, (_, _, (pts, _)) in enumerate(loader):
+            pts = jnp.asarray(pts)
+            keys = jnp.stack([jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(root_key, r), i), times)
+                for r in range(rounds)])
+            scanned = np.asarray(vote_fn(variables, pts, keys))
+            for r in range(rounds):
+                single = np.asarray(vote_fn(variables, pts, keys[r]))
+                np.testing.assert_array_equal(scanned[r], single)
+
+        # per-round accuracies equal the sequential protocol's
+        accs = test_vote_rounds(model, state, loader, npoints, root_key,
+                                "test", rounds=rounds, times=times,
+                                round_chunk=2, vote_logits=vote_fn)
+        assert accs.shape == (rounds,)
+        for r in range(rounds):
+            a = validate_vote(model, state, loader, npoints,
+                              jax.random.fold_in(root_key, r), "test",
+                              times=times, vote_logits=vote_fn)
+            assert float(accs[r]) == a, (r, float(accs[r]), a)
+
+
 class TestTensorParallel:
     def test_runner_build_state_applies_tp(self):
         """--mesh_model_parallel reaches the finetune runner's build_state:
