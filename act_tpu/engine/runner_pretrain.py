@@ -42,14 +42,16 @@ def evaluate_svm(train_features, train_labels, test_features, test_labels) -> fl
     return float(np.sum(test_labels == pred) * 1.0 / pred.shape[0])
 
 
-def load_dvae_ckpt(variables, dvae_cfg, subtree: str, logger=None):
+def load_dvae_ckpt(variables, dvae_cfg, subtree: str, logger=None,
+                   allow_random: bool = False):
     """Load the frozen Stage-I dVAE tokenizer weights (reference build_tokenizer,
     models/act.py:1151-1160 loads dvae_config.ckpt strictly before freezing).
 
     Accepts an orbax dir (converted via tools/convert_checkpoint.py) or a torch
-    .pth. A missing path is a loud warning, not an error, so data/ckpt-free
-    smoke runs still work — but real pretraining MUST provide it: distilling
-    toward a random tokenizer is meaningless.
+    .pth. A SET but missing path is an ERROR (matching the reference's strict
+    load — a typo'd path must not silently distill toward a random tokenizer)
+    unless ``allow_random`` (--allow_random_tokenizer, or --smoke: ckpt-free
+    CI runs). An unset path warns: only meaningful for debugging.
     """
     import os
     path = dvae_cfg.get("ckpt") if hasattr(dvae_cfg, "get") else None
@@ -58,6 +60,13 @@ def load_dvae_ckpt(variables, dvae_cfg, subtree: str, logger=None):
                   "tokenizer/teacher is RANDOMLY INITIALIZED", logger=logger)
         return variables
     if not os.path.exists(path):
+        if not allow_random:
+            raise FileNotFoundError(
+                f"dvae_config.ckpt = '{path}' does not exist. The reference "
+                f"loads the Stage-I tokenizer strictly (models/act.py:1151-"
+                f"1160); pretraining against a random tokenizer is "
+                f"meaningless. Fix the path, or pass --allow_random_tokenizer "
+                f"to proceed anyway.")
         print_log(f"[PRETRAIN][WARNING] dvae ckpt '{path}' not found — the "
                   "frozen tokenizer/teacher is RANDOMLY INITIALIZED",
                   logger=logger)
@@ -159,8 +168,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     is_pointbert = config.model.NAME == "ACT_PointBERT"
     tokenizer_name = "dvae" if is_pointbert else "dvae_tokenizer"
-    variables = load_dvae_ckpt(variables, config.model.dvae_config,
-                               tokenizer_name, logger)
+    variables = load_dvae_ckpt(
+        variables, config.model.dvae_config, tokenizer_name, logger,
+        allow_random=bool(getattr(args, "allow_random_tokenizer", False))
+        or smoke)
     if is_pointbert:
         # MoCo momentum encoder starts as a copy of the query encoder
         # (reference models/act.py:939-942)

@@ -48,6 +48,10 @@ def get_args(argv=None):
     parser.add_argument("--mesh_model_parallel", type=int, default=1)
     parser.add_argument("--scan_steps", type=int, default=1,
                         help="train K steps per host dispatch (lax.scan)")
+    parser.add_argument("--allow_random_tokenizer", action="store_true",
+                        help="pretrain with a randomly initialized dVAE "
+                        "tokenizer when dvae_config.ckpt is unset/missing "
+                        "(otherwise a set-but-unloadable path is an error)")
     args = parser.parse_args(argv)
 
     if args.test and args.resume:

@@ -352,6 +352,92 @@ class TestRunnerSmoke:
                   "--scan_steps", "2")
 
 
+@pytest.mark.slow
+class TestChainedTwoStage:
+    """The reference's real two-stage workflow, end-to-end through the CLIs:
+    Stage-I dVAE train (train_autoencoder.sh) -> its checkpoint as
+    dvae_config.ckpt for Stage-II pretrain (pretrain.sh, strict tokenizer load
+    at models/act.py:1151-1160) -> pretrain ckpt into finetune
+    --finetune_model --ckpts -> test eval. Every handoff is asserted from the
+    runner logs so a layout mismatch can't pass silently."""
+
+    def _run(self, script, *flags) -> str:
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv=[%r,%s];"
+            "import %s as m; m.main()" % (
+                script, ",".join(repr(f) for f in flags),
+                script.replace(".py", "")))
+        r = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                           env=env, capture_output=True, text=True,
+                           timeout=540)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout + r.stderr
+
+    def test_chain(self, tmp_path):
+        # Stage I: tiny dVAE autoencoder train
+        self._run("main_autoencoder.py", "--config",
+                  "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
+                  "--exp_name", "chain_s1", "--smoke")
+        s1 = ("work_dirs/act_dvae_with_pretrained_transformer/autoencoder/"
+              "chain_s1/ckpt-last")
+        assert os.path.exists(s1), s1
+
+        # Stage II: pretrain with dvae_config.ckpt = the Stage-I output
+        cfg_txt = open("cfgs/pretrain/pretrain_act_distill.yaml").read()
+        assert "ckpt: model_zoo/ckpt_act_dvae.orbax" in cfg_txt
+        cfg = tmp_path / "pretrain_chain.yaml"
+        cfg.write_text(cfg_txt.replace("ckpt: model_zoo/ckpt_act_dvae.orbax",
+                                       f"ckpt: {s1}"))
+        out = self._run("main.py", "--config", str(cfg),
+                        "--exp_name", "chain_s2", "--smoke")
+        # the tokenizer really loaded (no silent random-tokenizer fallback)
+        assert "loaded frozen dVAE tokenizer from " + s1 in out, out[-2000:]
+        assert "RANDOMLY INITIALIZED" not in out
+        s2 = os.path.join("work_dirs", "pretrain_chain", tmp_path.name,
+                          "chain_s2", "ckpt-last")
+        assert os.path.exists(s2), s2
+
+        # Stage III: finetune from the pretrain ckpt, then test-eval it
+        out = self._run("main.py", "--config",
+                        "cfgs/finetune_classification/full/"
+                        "finetune_scan_hardest.yaml",
+                        "--exp_name", "chain_s3", "--smoke",
+                        "--finetune_model", "--ckpts", s2)
+        assert "[FINETUNE] loaded ckpt " + s2 in out, out[-2000:]
+        import re
+        m = re.search(r"merged (\d+) matching tensors", out)
+        # the whole student (encoder convs + blocks + norms) must transfer,
+        # not just a stray leaf or two
+        assert m and int(m.group(1)) >= 20, out[-2000:]
+        s3 = ("work_dirs/finetune_scan_hardest/full/chain_s3/ckpt-last")
+        assert os.path.exists(s3), s3
+        out = self._run("main.py", "--config",
+                        "cfgs/finetune_classification/full/"
+                        "finetune_scan_hardest.yaml",
+                        "--exp_name", "chain_eval", "--smoke", "--test",
+                        "--ckpts", s3)
+        assert "[TEST] OA = " in out
+
+    def test_set_but_missing_dvae_ckpt_fails_hard(self):
+        """A typo'd dvae_config.ckpt must be an error, not a warning: without
+        --allow_random_tokenizer pretraining would silently distill toward a
+        random tokenizer (the reference load is strict)."""
+        from act_tpu.engine.runner_pretrain import load_dvae_ckpt
+        from act_tpu.utils.config import ConfigDict
+        cfg = ConfigDict(dict(ckpt="/no/such/path.orbax"))
+        with pytest.raises(FileNotFoundError, match="allow_random_tokenizer"):
+            load_dvae_ckpt({"params": {}}, cfg, "dvae_tokenizer")
+        # explicit opt-outs still work: allow_random, or an UNSET path
+        v = load_dvae_ckpt({"params": {}}, cfg, "dvae_tokenizer",
+                           allow_random=True)
+        assert v == {"params": {}}
+        v = load_dvae_ckpt({"params": {}}, ConfigDict(dict()),
+                           "dvae_tokenizer")
+        assert v == {"params": {}}
+
+
 class TestMultiStep:
     def test_scanned_steps_match_sequential(self):
         """K scanned steps == K sequential steps (same batches, same rng)."""

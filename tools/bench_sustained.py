@@ -98,7 +98,9 @@ def bench_e2e(root: str, epochs: int, scan_steps: int) -> dict:
     epochs = max(epochs, 2)  # epoch 0 pays the compile; measure the last
     args = get_args(["--config", "cfgs/pretrain/pretrain_act_distill.yaml",
                      "--exp_name", "bench_sustained",
-                     "--scan_steps", str(scan_steps)])
+                     "--scan_steps", str(scan_steps),
+                     # throughput profile: no Stage-I ckpt in the container
+                     "--allow_random_tokenizer"])
     config = get_config(args)
     config.max_epoch = epochs
     for split in config.dataset.values():
