@@ -210,7 +210,11 @@ def furthest_point_sample(points: jax.Array, n_samples: int,
     fallbacks use a random start
     (part_segmentation/models/pointnet2_utils.py:72), reproduced by passing
     ``jax.random.randint(key, (B,), 0, N)``. Index-exact vs the reference impl
-    at every start.
+    at every start, up to one-ulp distance ties: at large N the kernel's
+    ``(x-cx)**2 + ...`` and the reference's ``sum((p-last)**2, -1)`` can round
+    a farthest-distance tie differently and swap one adjacent pick pair (same
+    selected SET; measured on-chip 2026-08-19: 3/256 rows at (256, 8192)->1024,
+    each a 2-column swap with relative tie gap ~1e-7).
 
     Perf note: the batched kernel's per-step reductions are expressed as
     max + min-index-of-max (plain VPU reductions); with a per-row lane
