@@ -530,11 +530,20 @@ class ACT_PointBERT(nn.Module):
 
     def _masked_ce(self, logits, labels, mask):
         """CE over masked positions only, mean weighted by the mask
-        (static-shape replacement for logits[mask])."""
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-        w = mask.astype(nll.dtype)
-        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+        (static-shape replacement for logits[mask]).
+
+        Written as ``logsumexp(logits) - logits[label]`` rather than
+        ``-log_softmax(logits)[label]``: mathematically identical, but the
+        log_softmax form materializes the full (B, G, 8192)-vocab log-probs
+        tensor only to gather ONE column per position — profiled at 48.8
+        ms/step (35.7% of the PointBERT device step, HBM-bound at 51 GB/s,
+        2026-08-19). The lse+gather form keeps the forward a reduction + a
+        gather; the backward's dense softmax term is unavoidable either way.
+        """
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        ll = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+        w = mask.astype(lse.dtype)
+        return jnp.sum((lse - ll) * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     def __call__(self, pts: jax.Array, train: bool = True, noaug: bool = False):
         if noaug:
@@ -617,10 +626,11 @@ def _normalize(x: jax.Array, axis: int = -1) -> jax.Array:
 
 
 def _ce(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    # lse - logits[label] == -log_softmax(logits)[label] without
+    # materializing the full log-probs tensor (see _masked_ce)
+    return jnp.mean(_ce_per_item(logits, labels))
 
 
 def _ce_per_item(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    return lse - jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
