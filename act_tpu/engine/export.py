@@ -71,6 +71,29 @@ def build_infer_fn(model, variables, npoints: int, with_fps: bool = True):
     return infer
 
 
+def _export_specs(infer, specs: Sequence[jax.ShapeDtypeStruct],
+                  concrete_batch: bool,
+                  platforms: Optional[Sequence[str]]) -> "jexport.Exported":
+    """Lower + export ``infer`` over the given input specs.
+
+    Symbolic-batch exports must trace the pure-XLA reference ops (the
+    Pallas kernels' tiling math needs concrete batch sizes), and so must
+    cross-platform artifacts (tpu_custom_call is not portable) and
+    interpret-mode hosts (a debugging device, not a serving path).
+    """
+    cross = platforms is not None and set(platforms) != {"tpu"}
+    keep_pallas = (pallas_mode() == "tpu" and concrete_batch and not cross)
+
+    if keep_pallas:
+        # Pallas kernels serialize as tpu_custom_calls; opt out of the
+        # stability guarantee explicitly (see module docstring).
+        disabled = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+        return jexport.export(jax.jit(infer), platforms=platforms,
+                              disabled_checks=disabled)(*specs)
+    with pallas_override("off"):
+        return jexport.export(jax.jit(infer), platforms=platforms)(*specs)
+
+
 def _export_point_fn(infer, n_in: int, batch: Optional[int],
                      platforms: Optional[Sequence[str]]) -> "jexport.Exported":
     """Lower + export a (B, n_in, 3) -> array function. ``batch=None`` keeps
@@ -80,22 +103,7 @@ def _export_point_fn(infer, n_in: int, batch: Optional[int],
     else:
         shape = (int(batch), n_in, 3)
     spec = jax.ShapeDtypeStruct(shape, jnp.float32)
-
-    # Symbolic-batch exports must trace the pure-XLA reference ops (the
-    # Pallas kernels' tiling math needs concrete batch sizes), and so must
-    # cross-platform artifacts (tpu_custom_call is not portable) and
-    # interpret-mode hosts (a debugging device, not a serving path).
-    cross = platforms is not None and set(platforms) != {"tpu"}
-    keep_pallas = (pallas_mode() == "tpu" and batch is not None and not cross)
-
-    if keep_pallas:
-        # Pallas kernels serialize as tpu_custom_calls; opt out of the
-        # stability guarantee explicitly (see module docstring).
-        disabled = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
-        return jexport.export(jax.jit(infer), platforms=platforms,
-                              disabled_checks=disabled)(spec)
-    with pallas_override("off"):
-        return jexport.export(jax.jit(infer), platforms=platforms)(spec)
+    return _export_specs(infer, [spec], batch is not None, platforms)
 
 
 def export_classifier(config, ckpt_path: Optional[str] = None,
@@ -178,6 +186,68 @@ def export_dvae_recon(config, ckpt_path: Optional[str] = None,
     return _export_point_fn(recon, n_in, batch, platforms)
 
 
+def export_segmentation(task: str, npoint: int = 2048,
+                        ckpt_path: Optional[str] = None,
+                        batch: Optional[int] = None, num_group: int = 128,
+                        dtype: str = "bf16",
+                        platforms: Optional[Sequence[str]] = None,
+                        seed: int = 0, logger=None) -> "jexport.Exported":
+    """Dense-prediction serving: per-point class log-probs.
+
+    ``task='semseg'``: (B, npoint, 3) scene block -> (B, npoint, 13) S3DIS
+    log-probs — the whole-scene vote protocol's forward (reference
+    semantic_segmentation/main_test.py:54-139; one exported artifact serves
+    every sliding-window block). ``task='partseg'``: (points, cls_label_one_hot
+    (B, 16)) -> (B, npoint, 50) ShapeNetPart log-probs (the head consumes the
+    object-category one-hot, reference part_segmentation/models/pt.py:213-215).
+
+    Checkpoints load through the same path as whole_scene_eval: orbax dirs
+    from the seg runners or torch-converted releases (adapt_block_layout
+    handles either transformer-stack layout).
+    """
+    from act_tpu.engine import checkpoint as ckpt_lib
+    from act_tpu.utils.config import ConfigDict
+
+    if task not in ("partseg", "semseg"):
+        raise ValueError(f"task must be partseg|semseg, got {task!r}")
+    with_label = task == "partseg"
+    cls_dim = 50 if with_label else 13
+    n_cat = 16  # ShapeNetPart object categories
+    cfg = ConfigDict(dict(
+        NAME="PartSegTransformer" if with_label else "SemSegTransformer",
+        cls_dim=cls_dim, num_group=int(num_group), group_size=32,
+        dtype=dtype))
+    model = MODELS.build(cfg)
+    key = jax.random.PRNGKey(seed)
+    rngs = dict(params=key, dropout=key, droppath=key)
+    sample = [jnp.zeros((2, npoint, 3), jnp.float32)]
+    if with_label:
+        sample.append(jnp.zeros((2, n_cat), jnp.float32))
+    variables = jax.jit(lambda: model.init(rngs, *sample))()
+    variables = jax.device_get(variables)
+    if ckpt_path:
+        payload = ckpt_lib.load_checkpoint(ckpt_path)
+        params = ckpt_lib.adapt_block_layout(
+            payload.get("params", payload), variables["params"])
+        ckpt_lib.report_key_diff(variables["params"], params, logger=logger)
+        variables = {"params": params,
+                     "batch_stats": payload.get("batch_stats",
+                                                variables.get("batch_stats",
+                                                              {}))}
+
+    def infer(*inputs):
+        return model.apply(variables, *inputs)
+
+    if batch is None:
+        b = jexport.symbolic_shape("b")[0]
+        shapes = [(b, npoint, 3)] + ([(b, n_cat)] if with_label else [])
+    else:
+        shapes = [(int(batch), npoint, 3)] + (
+            [(int(batch), n_cat)] if with_label else [])
+    specs = [jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes]
+    return _export_specs(infer, specs, batch is not None, platforms)
+
+
 def save_exported(exp: "jexport.Exported", dst: str, meta: dict) -> None:
     """One artifact file + a small json sidecar for humans/servers."""
     data = exp.serialize()
@@ -185,6 +255,7 @@ def save_exported(exp: "jexport.Exported", dst: str, meta: dict) -> None:
         f.write(data)
     side = {"magic": MAGIC, "bytes": len(data),
             "in_shape": [str(d) for d in exp.in_avals[0].shape],
+            "in_shapes": [[str(d) for d in a.shape] for a in exp.in_avals],
             "out_shape": [str(d) for d in exp.out_avals[0].shape],
             "platforms": list(exp.platforms), **meta}
     with open(dst + ".json", "w") as f:
@@ -197,7 +268,11 @@ def load_exported(src: str):
     with open(src, "rb") as f:
         exp = jexport.deserialize(bytearray(f.read()))
 
-    def call(pts):
-        return exp.call(jnp.asarray(pts, jnp.float32))
+    def call(pts, *extra):
+        # multi-input artifacts (partseg: points + object one-hot) take the
+        # extra operands positionally
+        args = [jnp.asarray(pts, jnp.float32)]
+        args += [jnp.asarray(e, jnp.float32) for e in extra]
+        return exp.call(*args)
     call.exported = exp
     return call

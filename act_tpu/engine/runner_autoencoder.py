@@ -234,14 +234,14 @@ def run_net(args, config, train_writer=None, val_writer=None):
                           logger=logger)
                 return state
             # defer the fetch (pretrain-runner rationale): scanned metrics
-            # are K-step means, one meters entry per dispatch
-            metric_pending.append((metrics["recon"], metrics["kld"]))
+            # are K-step means, so carry the step weight into the meter
+            scan_eff = scan_steps if multi_step is not None else 1
+            metric_pending.append((metrics["recon"], metrics["kld"], scan_eff))
             # log every ~100 batches; under scan idx only lands on dispatch
             # iterations, so fire when the window crossed a 100-batch mark
-            scan_eff = scan_steps if multi_step is not None else 1
             if (idx // 100) != ((idx - scan_eff) // 100):
-                for r, k in metric_pending:
-                    meters.update([float(r) * 1000, float(k) * 1000])
+                for r, k, n in metric_pending:
+                    meters.update([float(r) * 1000, float(k) * 1000], n=n)
                 metric_pending = []
                 print_log(
                     f"[Epoch {epoch}][Batch {idx + 1}/{steps_per_epoch}] "
@@ -259,10 +259,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
             state, metrics = train_step(
                 state, shard_batch(mesh, jnp.asarray(pts)), root_key,
                 jnp.float32(temp), jnp.float32(kldw), *bn_extra)
-            metric_pending.append((metrics["recon"], metrics["kld"]))
+            metric_pending.append((metrics["recon"], metrics["kld"], 1))
         pending = []
-        for r, k in metric_pending:  # drain the deferred fetches
-            meters.update([float(r) * 1000, float(k) * 1000])
+        for r, k, n in metric_pending:  # drain the deferred fetches
+            meters.update([float(r) * 1000, float(k) * 1000], n=n)
         metric_pending = []
         print_log(f"[Epoch {epoch}] EpochTime={time.time() - t0:.1f}s "
                   f"Losses(x1000)={[f'{v:.4f}' for v in meters.avg()]}",

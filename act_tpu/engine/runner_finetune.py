@@ -196,10 +196,11 @@ def run_net(args, config, train_writer=None, val_writer=None):
                           logger=logger)
                 return state
             # defer the fetch: float(...) per dispatch would block the host
-            # on a device round trip (the pretrain runner's rationale) —
-            # scanned metrics are already K-step means, weight-equal per
-            # dispatch except the remainder, which flushes as single steps
-            metric_pending.append((metrics["loss"], metrics["acc"]))
+            # on a device round trip (the pretrain runner's rationale);
+            # scanned metrics are K-step means, so carry the step weight
+            metric_pending.append(
+                (metrics["loss"], metrics["acc"],
+                 scan_steps if multi_step is not None else 1))
             if max_steps and idx + 1 >= max_steps:
                 break
         # flush the sub-scan remainder so no batch is dropped and the
@@ -209,10 +210,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 state, shard_batch(mesh, jnp.asarray(pts)),
                 shard_batch(mesh, jnp.asarray(label)), root_key, *bn_extra)
             n_step += 1
-            metric_pending.append((metrics["loss"], metrics["acc"]))
+            metric_pending.append((metrics["loss"], metrics["acc"], 1))
         pending = []
-        for l, a in metric_pending:  # drain the deferred fetches
-            meters.update([float(l), float(a)])
+        for l, a, n in metric_pending:  # drain the deferred fetches
+            meters.update([float(l), float(a)], n=n)
         metric_pending = []
         lr = float(schedule(int(state.step)))
         print_log(f"[Epoch {epoch}] time={time.time() - t0:.1f}s "

@@ -317,7 +317,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
             # scalar and materialize at the logging cadence — dispatch stays
             # async and host IO overlaps device compute (jax dispatch is
             # asynchronous; the queue is bounded by the loader prefetch).
-            loss_pending.append(metrics["loss"])
+            loss_pending.append(
+                (metrics["loss"],
+                 scan_steps if multi_step is not None else 1))
             batch_time.update(time.time() - tic)
             tic = time.time()
             # log every ~100 batches. Under multi_step this line only runs on
@@ -326,8 +328,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
             # fire whenever the dispatched window crossed a 100-batch mark.
             scan_eff = scan_steps if multi_step is not None else 1
             if (idx // 100) != ((idx - scan_eff) // 100):
-                for l in loss_pending:
-                    meters.update([float(l)])
+                for l, n in loss_pending:
+                    meters.update([float(l)], n=n)
                 loss_pending = []
                 loss = meters.val(0)
                 lr = float(schedule(int(state.step)))
@@ -348,8 +350,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
             n_step += 1
             meters.update([float(metrics["loss"])])
         pending = []
-        for l in loss_pending:  # drain the deferred loss fetches
-            meters.update([float(l)])
+        for l, n in loss_pending:  # drain the deferred loss fetches
+            meters.update([float(l)], n=n)
         loss_pending = []
         print_log(f"[Epoch {epoch}] EpochTime={time.time() - epoch_start:.3f}s "
                   f"Loss={meters.avg(0):.4f}", logger=logger)

@@ -17,16 +17,18 @@ class AverageMeter:
         self._sum = [0.0] * self.n_items
         self._count = [0] * self.n_items
 
-    def update(self, values):
+    def update(self, values, n: int = 1):
+        """Record `values`; `n` weights the entry (e.g. a mean over n steps
+        from one scanned multi-step dispatch counts as n observations)."""
         if isinstance(values, (list, tuple)):
             for i, v in enumerate(values):
                 self._val[i] = float(v)
-                self._sum[i] += float(v)
-                self._count[i] += 1
+                self._sum[i] += float(v) * n
+                self._count[i] += n
         else:
             self._val[0] = float(values)
-            self._sum[0] += float(values)
-            self._count[0] += 1
+            self._sum[0] += float(values) * n
+            self._count[0] += n
 
     def val(self, idx=None):
         if self.items is None:

@@ -192,13 +192,17 @@ def main():
         cpu = cpu_baseline()
     except Exception:
         cpu = None
-    best = value if value is not None else last_good
-    vs = best / (5.0 * cpu) if (best is not None and cpu) else None
+    # vs_baseline reflects THIS run only; a dead tunnel yields null there and
+    # the stale-but-attributed ratio moves to last_good_vs_baseline, so a
+    # consumer keying on vs_baseline alone can't mistake stale data for fresh
+    vs = value / (5.0 * cpu) if (value is not None and cpu) else None
+    vs_lg = last_good / (5.0 * cpu) if (last_good is not None and cpu) else None
     print(json.dumps({
         "metric": "pretrain_clouds_per_sec_per_chip",
         "value": round(value, 2) if value is not None else None,
         "unit": "point-clouds/sec/chip (ShapeNet55 Stage-II pretrain, B=%d)" % batch,
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "last_good_vs_baseline": round(vs_lg, 3) if vs_lg is not None else None,
         # a dead tunnel degrades to stale-but-attributed data, never nothing
         "last_good": round(last_good, 2) if last_good is not None else None,
         "last_good_ts": last_good_ts,

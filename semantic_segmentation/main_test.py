@@ -18,7 +18,8 @@ def parse_args():
     parser.add_argument("--num_votes", type=int, default=3)
     parser.add_argument("--eval_batch_size", type=int, default=16,
                         help="sliding-window blocks batched per forward "
-                             "(votes are bit-equal at any value)")
+                             "(votes numerically identical up to float "
+                             "reassociation from XLA batch tiling)")
     parser.add_argument("--smoke", action="store_true")
     return parser.parse_args()
 

@@ -176,8 +176,10 @@ class TestBenchDegradation:
         assert rec["tunnel"] == "down"
         assert rec["last_good"] == 4128.6
         assert rec["last_good_ts"] == "2026-08-19T00:00:00Z"
-        # vs_baseline attributed from last_good: 4128.6 / (5 * 2.0)
-        assert abs(rec["vs_baseline"] - 412.86) < 0.01
+        # vs_baseline is null (no fresh measurement); the stale ratio is
+        # attributed separately so consumers can't read it as current
+        assert rec["vs_baseline"] is None
+        assert abs(rec["last_good_vs_baseline"] - 412.86) < 0.01
 
     def test_success_persists_last_good(self, tmp_path):
         import json

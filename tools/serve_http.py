@@ -8,10 +8,13 @@ tools/export_model.py).
   python tools/serve_http.py --src model.actx --port 8080
 
   POST /predict   {"points": [[[x,y,z], ...], ...]}   # (B, N, 3)
-      -> classifier: {"logits": [...], "argmax": [...]}
-         features:   {"features": [...]}
-         dvae:       {"recon": [...]}          # (B, N, 3) reconstruction
-         tokenize:   {"tokens": [...]}         # (B, G) int codebook ids
+      -> classifier:   {"logits": [...], "argmax": [...]}
+         features:     {"features": [...]}
+         dvae:         {"recon": [...]}        # (B, N, 3) reconstruction
+         tokenize:     {"tokens": [...]}       # (B, G) int codebook ids
+         segmentation: {"labels": [...]}       # (B, N) per-point classes
+             (+"log_probs" with "return_log_probs": true; partseg artifacts
+              additionally require "cls_label": (B,) ids or (B,16) one-hot)
   GET  /healthz   -> {"ok": true, ...sidecar meta}
 """
 import argparse
@@ -53,9 +56,24 @@ def make_handler(fn, meta, lock):
                 if pts.ndim != 3 or pts.shape[-1] != 3:
                     raise ValueError(f"points must be (B, N, 3), "
                                      f"got {pts.shape}")
-                with lock:  # one compiled program, serialized dispatch
-                    out = np.asarray(fn(pts))
                 kind = meta.get("kind", "classifier")
+                extra = ()
+                if kind == "segmentation" and \
+                        len(meta.get("in_shapes", [])) > 1:
+                    # partseg: the request must carry the object-category
+                    # one-hot (or an int label per cloud)
+                    n_cat = int(meta["in_shapes"][1][-1])
+                    lab = np.asarray(req["cls_label"])
+                    if lab.ndim == 1:  # int category ids -> one-hot
+                        lab = np.eye(n_cat, dtype=np.float32)[
+                            lab.astype(np.int64)]
+                    if lab.shape != (pts.shape[0], n_cat):
+                        raise ValueError(
+                            f"cls_label must be (B,) ids or (B, {n_cat}) "
+                            f"one-hot, got {lab.shape}")
+                    extra = (lab.astype(np.float32),)
+                with lock:  # one compiled program, serialized dispatch
+                    out = np.asarray(fn(pts, *extra))
                 if kind == "classifier":
                     resp = {"logits": out.tolist(),
                             "argmax": out.argmax(-1).tolist()}
@@ -63,6 +81,12 @@ def make_handler(fn, meta, lock):
                     resp = {"features": out.tolist()}
                 elif kind == "tokenize":
                     resp = {"tokens": out.tolist()}
+                elif kind == "segmentation":
+                    # per-point labels by default; (B, N, C) log-probs are
+                    # large, so only on request
+                    resp = {"labels": out.argmax(-1).tolist()}
+                    if req.get("return_log_probs"):
+                        resp["log_probs"] = out.tolist()
                 else:
                     resp = {"recon": out.tolist()}
                 self._send(200, resp)
