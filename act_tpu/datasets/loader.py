@@ -43,6 +43,8 @@ def _init_worker(dataset, seed_counter, base_seed):
 
 
 def _fetch_chunk(chunk):
+    if hasattr(_WORKER_DS, "get_batch"):
+        return _WORKER_DS.get_batch(chunk)
     return default_collate([_WORKER_DS[int(i)] for i in chunk])
 
 
@@ -139,10 +141,16 @@ class DataLoader:
     def _batches(self) -> Iterator:
         idx = self._indices()
         nb = len(self)
+        # datasets may expose a vectorized get_batch(indices) fast path
+        # (one batched subsample/normalize instead of B Python passes);
+        # it must return exactly what default_collate over items would
+        fast = getattr(self.dataset, "get_batch", None)
         for b in range(self._start_batch, nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = [self.dataset[int(i)] for i in chunk]
-            yield default_collate(samples)
+            if fast is not None:
+                yield fast(chunk)
+            else:
+                yield default_collate([self.dataset[int(i)] for i in chunk])
 
     def _batches_mp(self) -> Iterator:
         """Ordered batches from the worker pool, windowed so at most

@@ -204,9 +204,17 @@ def dataset_builder(args, dataset_cfg):
     workers = int(getattr(args, "num_workers", 0) or 0)
     if getattr(dataset, "synthetic", False) or getattr(args, "smoke", False):
         workers = 0
+    # Prefetch must cover a full --scan_steps dispatch window: the runner's
+    # host thread blocks ~0.3s in device_put per window (tunnel H2D), during
+    # which the loader thread can only assemble `prefetch` batches before the
+    # queue fills. A 2-deep queue under scan_steps=8 caps the overlap at 1/4
+    # window and serializes assembly with transfer (measured: 1,600 vs 2,900
+    # clouds/sec sustained); 2 windows deep lets assembly fully hide inside
+    # the transfer+execute of the previous window.
+    scan = max(int(getattr(args, "scan_steps", 1) or 1), 1)
     loader = DataLoader(
         dataset, batch_size=bs, shuffle=shuffle, drop_last=shuffle,
         seed=int(getattr(args, "seed", 0) or 0),
         num_replicas=_jax.process_count(), rank=_jax.process_index(),
-        num_workers=workers)
+        num_workers=workers, prefetch=max(2, 2 * scan) if shuffle else 2)
     return dataset, loader

@@ -50,6 +50,21 @@ def wait_for_pending_saves():
         raise _write_error.pop()
 
 
+def should_save_last(epoch: int, max_epoch: int, ckpt_every: int = 1) -> bool:
+    """Per-epoch ckpt-last cadence shared by the training runners.
+
+    Default ``ckpt_every=1`` saves every epoch (reference parity: the torch
+    runners save ckpt-last unconditionally, tools/runner_pretrain.py:217).
+    ``--ckpt_every N`` saves every Nth epoch counted from the first (epochs
+    N-1, 2N-1, ...); the FINAL epoch always saves so a completed run is
+    always resumable. On a tunneled chip each save is a ~250MB synchronous
+    D2H (the step donates the TrainState, so buffers must be fetched before
+    the next dispatch) — at 33MB/s that shadows a whole short epoch.
+    """
+    ckpt_every = max(int(ckpt_every or 1), 1)
+    return ((epoch + 1) % ckpt_every == 0) or (epoch == int(max_epoch) - 1)
+
+
 def save_checkpoint(state, epoch: int, metrics: Optional[Dict],
                     best_metrics: Optional[Dict], prefix: str,
                     args, logger=None, block: bool = False,

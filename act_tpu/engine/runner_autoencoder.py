@@ -206,8 +206,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 if len(pending) < scan_steps:
                     continue
                 stacked = (
-                    shard_stacked(mesh, jnp.asarray(
-                        np.stack([p for p, _, _ in pending]))),
+                    shard_stacked(mesh, np.stack([p for p, _, _ in pending])),
                     jnp.asarray([t for _, t, _ in pending]),
                     jnp.asarray([k for _, _, k in pending]))
                 pending = []
@@ -276,10 +275,14 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 ckpt_lib.save_checkpoint(state, epoch, metrics.state_dict(),
                                          best_metrics.state_dict(), "ckpt-best",
                                          args, logger)
-        ckpt_lib.save_checkpoint(
-            state, epoch, None,
-            best_metrics.state_dict() if best_metrics else None,
-            "ckpt-last", args, logger)
+        # --ckpt_every N thins the per-epoch ckpt-last cadence
+        # (ckpt_lib.should_save_last; default 1 = reference parity)
+        if ckpt_lib.should_save_last(epoch, int(config.max_epoch),
+                                     getattr(args, "ckpt_every", 1)):
+            ckpt_lib.save_checkpoint(
+                state, epoch, None,
+                best_metrics.state_dict() if best_metrics else None,
+                "ckpt-last", args, logger)
     ckpt_lib.wait_for_pending_saves()  # async writes durable before return
     return state
 

@@ -170,7 +170,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 if len(pending) < scan_steps:
                     continue
                 stacked = tuple(
-                    shard_stacked(mesh, jnp.asarray(np.stack(col)))
+                    shard_stacked(mesh, np.stack(col))
                     for col in zip(*pending))
                 pending = []
                 state, metrics = multi_step(state, stacked, root_key,
@@ -242,8 +242,13 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                              {"acc": vote_acc},
                                              best_metrics.state_dict(),
                                              "ckpt-best_vote", args, logger)
-        ckpt_lib.save_checkpoint(state, epoch, None, best_metrics.state_dict(),
-                                 "ckpt-last", args, logger)
+        # --ckpt_every N thins the per-epoch ckpt-last cadence
+        # (ckpt_lib.should_save_last; default 1 = reference parity)
+        if ckpt_lib.should_save_last(epoch, int(config.max_epoch),
+                                     getattr(args, "ckpt_every", 1)):
+            ckpt_lib.save_checkpoint(state, epoch, None,
+                                     best_metrics.state_dict(),
+                                     "ckpt-last", args, logger)
     ckpt_lib.wait_for_pending_saves()  # async writes durable before return
     return state
 

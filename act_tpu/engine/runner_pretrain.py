@@ -235,6 +235,24 @@ def run_net(args, config, train_writer=None, val_writer=None):
         loss_is_tuple=is_pointbert,
         ema_momentum=float(config.model.m) if is_pointbert else None,
         trainable_mask=trainable)
+    # --h2d_dtype i16: ship batches as int16 (half the H2D bytes) and
+    # dequantize as the first op inside the jitted step. Every pretrain
+    # dataset path pc_normalizes clouds to the unit sphere, so |x| <= 1 and
+    # the quantization error is <= 1/32767 ~ 3.1e-5 absolute — measured for
+    # bandwidth-starved links (e.g. the ~35MB/s axon tunnel, where the
+    # 12.6MB f32 scan window IS the sustained-throughput roofline).
+    h2d_dtype = str(getattr(args, "h2d_dtype", "f32") or "f32")
+    if h2d_dtype == "i16":
+        def quantize_h2d(x):
+            return np.clip(np.rint(np.asarray(x) * 32767.0),
+                           -32768, 32767).astype(np.int16)
+        base_step = train_step
+
+        def train_step(state, pts, key, *extra):  # noqa: F811
+            pts = pts.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+            return base_step(state, pts, key, *extra)
+    else:
+        quantize_h2d = None
     scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
     if smoke:
         # smoke still runs exactly max_steps (=2) batches; an explicit
@@ -286,13 +304,21 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 pending.append(np.asarray(pts))
                 if len(pending) < scan_steps:
                     continue
-                stacked = shard_stacked(mesh, jnp.asarray(np.stack(pending)))
+                # device_put straight from the numpy stack: jnp.asarray first
+                # would place on the default device and then reshard
+                hostb = np.stack(pending)
+                if quantize_h2d is not None:
+                    hostb = quantize_h2d(hostb)
+                stacked = shard_stacked(mesh, hostb)
                 pending = []
                 state, metrics = multi_step(state, stacked, root_key,
                                             *bn_extra)
                 n_step += scan_steps
             else:
-                pts = shard_batch(mesh, jnp.asarray(pts))
+                pts = np.asarray(pts)
+                if quantize_h2d is not None:
+                    pts = quantize_h2d(pts)
+                pts = shard_batch(mesh, pts)
                 state, metrics = train_step(state, pts, root_key, *bn_extra)
                 n_step += 1
             trace.step(n_step)
@@ -345,7 +371,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # flush the sub-scan remainder so no batch is dropped and the
         # step-based LR schedule stays aligned with the epoch loop
         for pts in pending:
-            sharded = shard_batch(mesh, jnp.asarray(pts))
+            if quantize_h2d is not None:
+                pts = quantize_h2d(pts)
+            sharded = shard_batch(mesh, pts)
             state, metrics = train_step(state, sharded, root_key, *bn_extra)
             n_step += 1
             meters.update([float(metrics["loss"])])
@@ -367,9 +395,13 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                          best_metrics.state_dict(),
                                          "ckpt-best", args, logger)
 
-        ckpt_lib.save_checkpoint(state, epoch, None,
-                                 best_metrics.state_dict(), "ckpt-last",
-                                 args, logger)
+        # --ckpt_every N thins the per-epoch ckpt-last cadence
+        # (ckpt_lib.should_save_last; default 1 = reference parity)
+        if ckpt_lib.should_save_last(epoch, int(config.max_epoch),
+                                     getattr(args, "ckpt_every", 1)):
+            ckpt_lib.save_checkpoint(state, epoch, None,
+                                     best_metrics.state_dict(), "ckpt-last",
+                                     args, logger)
         if epoch % 25 == 0 and epoch >= 250:
             ckpt_lib.save_checkpoint(state, epoch, None,
                                      best_metrics.state_dict(),

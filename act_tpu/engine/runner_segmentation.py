@@ -149,8 +149,11 @@ def run_partseg(args, logger=None):
                                  normal_channel=use_normal)
     test_ds = PartNormalDataset(root, npoints, split="test",
                                 normal_channel=use_normal)
+    # prefetch covers a full --scan_steps window so loader assembly hides
+    # inside the previous window's H2D transfer (see builder.py loader note)
+    scan_pf = max(2, 2 * max(int(getattr(args, "scan_steps", 1) or 1), 1))
     train_loader = DataLoader(train_ds, int(args.batch_size), shuffle=True,
-                              drop_last=True, seed=0)
+                              drop_last=True, seed=0, prefetch=scan_pf)
     test_loader = DataLoader(test_ds, int(args.batch_size), shuffle=False)
 
     # same multi-chip story as every other runner (runner_finetune.py:99-100):
@@ -235,7 +238,7 @@ def run_partseg(args, logger=None):
                 if len(pending) < scan_steps:
                     continue
                 stacked = tuple(
-                    shard_stacked(mesh, jnp.asarray(np.stack(col)))
+                    shard_stacked(mesh, np.stack(col))
                     for col in zip(*pending))
                 pending = []
                 state, loss = multi_step(state, stacked, root_key)
@@ -278,8 +281,9 @@ def run_semseg(args, logger=None):
                             test_area=int(getattr(args, "test_area", 5)))
     test_ds = S3DISDataset("test", root, npoints,
                            test_area=int(getattr(args, "test_area", 5)))
+    scan_pf = max(2, 2 * max(int(getattr(args, "scan_steps", 1) or 1), 1))
     train_loader = DataLoader(train_ds, int(args.batch_size), shuffle=True,
-                              drop_last=True, seed=0)
+                              drop_last=True, seed=0, prefetch=scan_pf)
     test_loader = DataLoader(test_ds, int(args.batch_size), shuffle=False)
     weights = jnp.asarray(train_ds.labelweights)
 
@@ -358,7 +362,7 @@ def run_semseg(args, logger=None):
                 if len(pending) < scan_steps:
                     continue
                 stacked = tuple(
-                    shard_stacked(mesh, jnp.asarray(np.stack(col)))
+                    shard_stacked(mesh, np.stack(col))
                     for col in zip(*pending))
                 pending = []
                 state, loss = multi_step(state, stacked, root_key)

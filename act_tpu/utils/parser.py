@@ -48,6 +48,17 @@ def get_args(argv=None):
     parser.add_argument("--mesh_model_parallel", type=int, default=1)
     parser.add_argument("--scan_steps", type=int, default=1,
                         help="train K steps per host dispatch (lax.scan)")
+    parser.add_argument("--h2d_dtype", choices=["f32", "i16"], default="f32",
+                        help="pretrain batch transfer dtype. i16 ships "
+                        "unit-sphere clouds quantized to int16 (half the "
+                        "host->device bytes, dequantized on device; error "
+                        "<= 3.1e-5) — for bandwidth-starved links where the "
+                        "H2D transfer bounds sustained throughput")
+    parser.add_argument("--ckpt_every", type=int, default=1,
+                        help="save ckpt-last every N epochs (default 1 = "
+                        "reference parity; the final epoch always saves). On "
+                        "a tunneled chip each save is a ~250MB D2H that can "
+                        "shadow a whole short epoch")
     parser.add_argument("--allow_random_tokenizer", action="store_true",
                         help="pretrain with a randomly initialized dVAE "
                         "tokenizer when dvae_config.ckpt is unset/missing "

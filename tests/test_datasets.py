@@ -93,6 +93,57 @@ class TestRealFormatParsers:
                                                whole=True))
         assert len(ds_whole) == 3
 
+    def test_fast_npy_reader_matches_np_load(self, tmp_path):
+        """IO.get's memoized-header .npy reader (hot loader path, ~2.2x
+        np.load) is value-exact and falls back for exotic layouts."""
+        from act_tpu.datasets.io import IO
+        cases = [np.random.randn(64, 3).astype(np.float32),
+                 np.random.randn(7),
+                 np.arange(24, dtype=np.int16).reshape(2, 3, 4),
+                 np.float32(3.5),  # 0-d
+                 np.asfortranarray(np.random.randn(5, 4))]  # fallback path
+        for i, a in enumerate(cases):
+            p = str(tmp_path / f"t{i}.npy")
+            np.save(p, a)
+            got = IO.get(p)
+            np.testing.assert_array_equal(got, np.load(p))
+            assert got.dtype == np.load(p).dtype
+
+    def test_shapenet_get_batch_matches_per_item(self, tmp_path):
+        """The vectorized DataLoader fast path (ShapeNet.get_batch) must be
+        EXACTLY the per-item __getitem__ + default_collate path: same rng
+        draw sequence, same subsample picks, bit-equal normalize."""
+        import os
+        from act_tpu.datasets.loader import default_collate
+        root = tmp_path / "ShapeNet-55"
+        pc = tmp_path / "shapenet_pc"
+        os.makedirs(root), os.makedirs(pc)
+        rng = np.random.default_rng(3)
+        names = []
+        for i in range(6):
+            name = f"0{i:07d}-m{i}.npy"
+            np.save(pc / name, rng.normal(size=(600, 3)).astype(np.float32))
+            names.append(name)
+        (root / "train.txt").write_text("\n".join(names) + "\n")
+        (root / "test.txt").write_text(names[0] + "\n")
+        mk = lambda: DATASETS.build(shapenet_cfg(
+            DATA_PATH=str(root), PC_PATH=str(pc), npoints=128))
+        idxs = np.asarray([4, 0, 2, 5])
+        ds_item = mk()  # fresh rng state each (init seeds default_rng(0))
+        ref = default_collate([ds_item[int(i)] for i in idxs])
+        ds_fast = mk()
+        tax, mid, pts = ds_fast.get_batch(idxs)
+        assert list(tax) == list(ref[0]) and list(mid) == list(ref[1])
+        assert pts.dtype == np.float32
+        np.testing.assert_array_equal(pts, ref[2])
+        # the DataLoader routes through the fast path transparently
+        from act_tpu.datasets import DataLoader
+        dl_fast = DataLoader(mk(), 4, shuffle=False, prefetch=0)
+        b_fast = next(iter(dl_fast))
+        ds_ref2 = mk()  # reference batch via per-item collate, same rng state
+        b_ref = default_collate([ds_ref2[i] for i in range(4)])
+        np.testing.assert_array_equal(b_fast[2], b_ref[2])
+
     def test_modelnet_txt_and_fps_cache(self, tmp_path):
         import os
         root = tmp_path / "modelnet"

@@ -327,6 +327,14 @@ class TestRunnerSmoke:
                   "cfgs/autoencoder/act_dvae_with_pretrained_transformer.yaml",
                   "--exp_name", "ci_smoke", "--smoke")
 
+    def test_pretrain_smoke_i16_h2d(self):
+        """--h2d_dtype i16 through the full runner (scan + remainder paths):
+        batches ship as int16 and dequantize inside the jitted step."""
+        self._run("main.py", "--config",
+                  "cfgs/pretrain/pretrain_act_distill.yaml",
+                  "--exp_name", "ci_smoke_i16", "--smoke",
+                  "--scan_steps", "2", "--h2d_dtype", "i16")
+
     def test_pretrain_smoke_scan_dispatch(self):
         """--scan_steps under smoke: 2 steps as ONE scanned dispatch through
         the (K, B, N, 3) shard_stacked layout (scan axis replicated)."""
@@ -481,6 +489,42 @@ class TestMultiStep:
         d = jax.tree_util.tree_map(
             lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
         assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+    def test_i16_h2d_quantization_close_to_f32(self):
+        """--h2d_dtype i16: int16-quantized unit-sphere batches dequantized
+        on device train within quantization tolerance of the f32 path."""
+        import __graft_entry__ as ge
+        from act_tpu.engine.builder import (build_optimizer,
+                                            freeze_mask_from_paths)
+        from act_tpu.models import MODELS
+        import jax.numpy as jnp
+
+        cfg = ge._pretrain_cfg(tiny=True)
+        model = MODELS.build(cfg)
+        rngs = ge._rngs()
+        B = 4
+        raw = np.random.default_rng(0).normal(size=(B, 64, 3))
+        raw = raw / np.abs(raw).max()  # unit-sphere bound like pc_normalize
+        pts = jnp.asarray(raw, jnp.float32)
+        variables = model.init(rngs, pts)
+        tcfg = train_cfg()
+        trainable = freeze_mask_from_paths(variables["params"],
+                                           ["dvae_tokenizer"])
+        tx, _ = build_optimizer(tcfg, variables["params"], 10, trainable)
+        from act_tpu.engine.train_state import make_pretrain_step
+        step = make_pretrain_step(model)
+        key = jax.random.PRNGKey(0)
+
+        v1 = jax.tree_util.tree_map(jnp.array, variables)
+        v2 = jax.tree_util.tree_map(jnp.array, variables)
+        _, m_f32 = step(TrainState.create(v1, tx), pts, key)
+
+        q = np.clip(np.rint(raw * 32767.0), -32768, 32767).astype(np.int16)
+        deq = jnp.asarray(q).astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+        assert float(jnp.abs(deq - pts).max()) <= 1.0 / 32767.0 + 1e-7
+        _, m_i16 = step(TrainState.create(v2, tx), deq, key)
+        np.testing.assert_allclose(float(m_i16["loss"]), float(m_f32["loss"]),
+                                   atol=5e-3, rtol=5e-3)
 
     def test_scanned_finetune_tuple_batches(self):
         """(pts, label) tuple batches unpack positionally BEFORE the key —

@@ -85,7 +85,8 @@ def bench_loader(root: str, batch_size: int, npoints: int, n_batches: int,
     return n / dt
 
 
-def bench_e2e(root: str, epochs: int, scan_steps: int) -> dict:
+def bench_e2e(root: str, epochs: int, scan_steps: int,
+              h2d_dtype: str = "f32") -> dict:
     """Real runner over the real tree: sustained clouds/sec from the LAST
     epoch's wall time (the first epoch carries the one-off XLA compile)."""
     import glob
@@ -95,10 +96,17 @@ def bench_e2e(root: str, epochs: int, scan_steps: int) -> dict:
     from act_tpu.utils.logger import get_root_logger
     from act_tpu.engine import runner_pretrain
 
-    epochs = max(epochs, 2)  # epoch 0 pays the compile; measure the last
+    epochs = max(epochs, 3)  # epoch 0 pays the compile; measure the best rest
     args = get_args(["--config", "cfgs/pretrain/pretrain_act_distill.yaml",
                      "--exp_name", "bench_sustained",
                      "--scan_steps", str(scan_steps),
+                     # the per-epoch ckpt-last is a ~250MB async D2H that
+                     # saturates the tunnel for ~8s and shadows the next
+                     # (short) profile epoch entirely — measured 2,225 ->
+                     # 833 clouds/sec. Thin it out of the profile window;
+                     # the final epoch still saves (resumability).
+                     "--ckpt_every", "1000000",
+                     "--h2d_dtype", h2d_dtype,
                      # throughput profile: no Stage-I ckpt in the container
                      "--allow_random_tokenizer"])
     config = get_config(args)
@@ -150,6 +158,9 @@ def main():
     ap.add_argument("--num_workers", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--scan_steps", type=int, default=8)
+    ap.add_argument("--h2d_dtype", choices=["f32", "i16"], default="f32",
+                    help="batch transfer dtype for the e2e leg (i16 = "
+                         "half the H2D bytes; see --h2d_dtype in main.py)")
     ap.add_argument("--skip_e2e", action="store_true")
     args = ap.parse_args()
 
@@ -160,7 +171,8 @@ def main():
           f"(bs={args.batch_size}, workers={args.num_workers})")
     out = {"loader_clouds_per_sec": round(loader_rate, 1)}
     if not args.skip_e2e:
-        e2e = bench_e2e(args.root, args.epochs, args.scan_steps)
+        e2e = bench_e2e(args.root, args.epochs, args.scan_steps,
+                        args.h2d_dtype)
         print(f"end-to-end sustained: {e2e['clouds_per_sec']:,.0f} clouds/sec "
               f"({e2e['clouds']} clouds in {e2e['wall_s']:.1f}s)")
         out["sustained_clouds_per_sec"] = round(e2e["clouds_per_sec"], 1)
