@@ -27,6 +27,7 @@ Usage: python tools/bench_suite.py [--out BENCHMARKS.md]
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import re
 import sys
@@ -528,10 +529,40 @@ def main():
         keep("SemSeg whole-scene eval forward (batched blocks)")
 
     lines.append("")
-    lines.append("Sustained (loader-fed) Stage-II pretrain: run "
-                 "tools/bench_sustained.py — loader-only\nassembly + "
-                 "end-to-end rates with tunnel attribution (latest numbers "
-                 "and the\nfull breakdown live in DESIGN.md round 4).")
+    lines.append("Sustained (loader-fed) Stage-II pretrain — "
+                 "tools/bench_sustained.py over a\nsynthetic ShapeNet-shaped "
+                 "file tree through the production DataLoader +\nrunner "
+                 "(65-step profile epochs, steady-epoch min; attribution in "
+                 "DESIGN.md\nround 5). This 1-core host feeds a ~35MB/s "
+                 "tunneled chip; co-located hosts\nare bound by max(loader, "
+                 "device) instead.")
+    lines.append("")
+    sus_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_sustained_last.json")
+    try:
+        with open(sus_path) as f:
+            sus = json.load(f)
+    except Exception:
+        sus = {}
+    if sus:
+        lines.append("| leg | clouds/sec | notes |")
+        lines.append("|---|---|---|")
+        if sus.get("loader"):
+            lines.append(f"| loader-only assembly (1 thread) | "
+                         f"{sus['loader']:,.0f} | get_batch fast path + "
+                         f"memoized-header npy reads |")
+        if sus.get("e2e_f32"):
+            lines.append(f"| end-to-end sustained, f32 H2D | "
+                         f"{sus['e2e_f32']:,.0f} | link-bound: 12.6MB f32 "
+                         f"per 8-step scan window |")
+        if sus.get("e2e_i16"):
+            lines.append(f"| end-to-end sustained, --h2d_dtype i16 | "
+                         f"{sus['e2e_i16']:,.0f} | halved H2D bytes; loss "
+                         f"curve matches f32 |")
+        lines.append("| device-only (bench.py, inputs resident) | see above "
+                     "| the ceiling the loader must feed |")
+    else:
+        lines.append("(run tools/bench_sustained.py to fill this table)")
     lines.append("")
     lines.append("| op | shape | ms/call |")
     lines.append("|---|---|---|")

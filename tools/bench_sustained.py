@@ -176,6 +176,20 @@ def main():
         print(f"end-to-end sustained: {e2e['clouds_per_sec']:,.0f} clouds/sec "
               f"({e2e['clouds']} clouds in {e2e['wall_s']:.1f}s)")
         out["sustained_clouds_per_sec"] = round(e2e["clouds_per_sec"], 1)
+    # persist per-leg records so bench_suite can render the sustained table
+    rec_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_sustained_last.json")
+    try:
+        with open(rec_path) as f:
+            rec = json.load(f)
+    except Exception:
+        rec = {}
+    rec["loader"] = out["loader_clouds_per_sec"]
+    if "sustained_clouds_per_sec" in out:
+        rec[f"e2e_{args.h2d_dtype}"] = out["sustained_clouds_per_sec"]
+    rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(rec_path, "w") as f:
+        json.dump(rec, f)
     print(json.dumps(out))
 
 
