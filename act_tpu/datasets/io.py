@@ -20,8 +20,9 @@ def _read_npy_fast(file_path: str) -> np.ndarray:
     fortran order, v3 headers...)."""
     with open(file_path, "rb") as f:
         pre = f.read(8)
-        if pre[:6] != b"\x93NUMPY":
-            raise ValueError(f"{file_path}: not an .npy file")
+        if len(pre) < 8 or pre[:6] != b"\x93NUMPY":
+            raise ValueError(f"{file_path}: not a valid .npy file "
+                             f"(bad/truncated header)")
         major = pre[6]
         if major == 1:
             hlen = int.from_bytes(f.read(2), "little")

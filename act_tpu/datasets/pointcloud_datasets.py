@@ -151,6 +151,14 @@ class ShapeNet(_SyntheticMixin):
             tax.append(s["taxonomy_id"])
             mid.append(s["model_id"])
             clouds.append(IO.get(os.path.join(self.pc_path, s["file_path"])))
+        if len({c.shape for c in clouds}) > 1:
+            # heterogeneous per-file point counts can't stack pre-subsample;
+            # subsample each cloud first like __getitem__ (rng draw order is
+            # identical either way — one choice() per cloud, in order)
+            sub = [self.random_sample(c.astype(np.float32),
+                                      self.sample_points_num) for c in clouds]
+            return tax, mid, np.stack(
+                [pc_normalize(p).astype(np.float32) for p in sub])
         stack = np.stack(clouds).astype(np.float32, copy=False)
         B, N = stack.shape[0], stack.shape[1]
         num = self.sample_points_num

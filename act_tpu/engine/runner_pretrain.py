@@ -10,6 +10,7 @@ processes. Checkpoint policy: ckpt-last each epoch, late-epoch snapshots
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -248,6 +249,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
                            -32768, 32767).astype(np.int16)
         base_step = train_step
 
+        # jitted so the single-step (scan_steps=1 / remainder) path stays ONE
+        # dispatch — eager astype+mul would cost two extra ~25ms tunnel round
+        # trips per step; inside make_multi_step's jit the inner jit inlines
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, pts, key, *extra):  # noqa: F811
             pts = pts.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
             return base_step(state, pts, key, *extra)

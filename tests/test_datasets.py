@@ -143,6 +143,15 @@ class TestRealFormatParsers:
         ds_ref2 = mk()  # reference batch via per-item collate, same rng state
         b_ref = default_collate([ds_ref2[i] for i in range(4)])
         np.testing.assert_array_equal(b_fast[2], b_ref[2])
+        # heterogeneous per-file point counts: get_batch falls back to the
+        # per-item subsample-then-stack order (still batched normalize)
+        np.save(pc / names[1], np.random.default_rng(9).normal(
+            size=(300, 3)).astype(np.float32))  # resize one file
+        ds_het_fast, ds_het_item = mk(), mk()
+        got = ds_het_fast.get_batch(np.asarray([0, 1, 2]))
+        want = default_collate([ds_het_item[i] for i in range(3)])
+        np.testing.assert_allclose(got[2], want[2], rtol=0, atol=1e-6)
+        assert got[2].shape == (3, 128, 3)
 
     def test_modelnet_txt_and_fps_cache(self, tmp_path):
         import os

@@ -341,6 +341,12 @@ class TestExportClassifier:
             conn.request("POST", "/predict",
                          body=json.dumps({"points": pts.tolist()}))
             assert conn.getresponse().status == 400  # cls_label required
+
+            # out-of-range ids are a 400, not a silent np.eye wraparound
+            conn.request("POST", "/predict",
+                         body=json.dumps({"points": pts.tolist(),
+                                          "cls_label": [-1, 3]}))
+            assert conn.getresponse().status == 400
         finally:
             server.shutdown()
 

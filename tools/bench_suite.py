@@ -545,6 +545,12 @@ def main():
     except Exception:
         sus = {}
     if sus:
+        if sus.get("ts"):
+            # stale-but-attributed (bench.py convention): the sustained legs
+            # come from the last bench_sustained run, not this suite run
+            lines.append(f"(legs measured by tools/bench_sustained.py, "
+                         f"last run {sus['ts']})")
+            lines.append("")
         lines.append("| leg | clouds/sec | notes |")
         lines.append("|---|---|---|")
         if sus.get("loader"):

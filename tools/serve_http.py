@@ -65,8 +65,13 @@ def make_handler(fn, meta, lock):
                     n_cat = int(meta["in_shapes"][1][-1])
                     lab = np.asarray(req["cls_label"])
                     if lab.ndim == 1:  # int category ids -> one-hot
-                        lab = np.eye(n_cat, dtype=np.float32)[
-                            lab.astype(np.int64)]
+                        ids = lab.astype(np.int64)
+                        if ((ids < 0) | (ids >= n_cat)).any():
+                            # negatives would silently wrap via fancy indexing
+                            raise ValueError(
+                                f"cls_label ids must be in [0, {n_cat}), "
+                                f"got {ids.min()}..{ids.max()}")
+                        lab = np.eye(n_cat, dtype=np.float32)[ids]
                     if lab.shape != (pts.shape[0], n_cat):
                         raise ValueError(
                             f"cls_label must be (B,) ids or (B, {n_cat}) "
