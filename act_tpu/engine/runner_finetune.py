@@ -120,9 +120,28 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     train_step = make_finetune_step(model, transform_fn=train_transform,
                                     mesh=mesh, trainable_mask=frozen_mask)
+    # --h2d_dtype i16: ship train batches as int16 with a DYNAMIC per-batch
+    # scale (finetune clouds aren't unit-sphere — ScanObjectNN ships raw
+    # coordinates); the scale rides the scan as a (K,) replicated input and
+    # the dequantize fuses into the jitted step (see engine/h2d.py). The
+    # finetune scan window is 25MB f32 at B=32/N=8192 — bigger than the
+    # pretrain window, so transfer-bound links gain even more.
+    h2d_dtype = str(getattr(args, "h2d_dtype", "f32") or "f32")
+    if h2d_dtype == "i16":
+        from act_tpu.engine import h2d
+        quantize_h2d = h2d.quantize_i16
+        base_step = train_step
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, pts, label, scale, key, *extra):  # noqa: F811
+            return base_step(state, h2d.dequantize_i16(pts, scale), label,
+                             key, *extra)
+    else:
+        quantize_h2d = None
     # --scan_steps K: one host dispatch trains K steps via lax.scan (same
     # tunnel/dispatch amortization the pretrain runner ships; batches are
-    # (pts, label) tuples, handled by make_multi_step's default body)
+    # (pts, label[, scale]) tuples, handled by make_multi_step's default body)
     scan_steps = max(int(getattr(args, "scan_steps", 1) or 1), 1)
     if smoke:
         # smoke still runs exactly max_steps (=2) batches; an explicit
@@ -166,21 +185,36 @@ def run_net(args, config, train_writer=None, val_writer=None):
         for idx, (tax, mid, data) in enumerate(train_loader):
             pts, label = data
             if multi_step is not None:
-                pending.append((np.asarray(pts), np.asarray(label)))
+                if quantize_h2d is not None:
+                    q, s = quantize_h2d(pts)
+                    pending.append((q, np.asarray(label), s))
+                else:
+                    pending.append((np.asarray(pts), np.asarray(label)))
                 if len(pending) < scan_steps:
                     continue
+                # batch-axis columns shard over 'data'; the (K,) per-step
+                # scale vector rides replicated (autoencoder temp/kld
+                # precedent — a 1-D scan input can't take P(None, 'data'))
                 stacked = tuple(
-                    shard_stacked(mesh, np.stack(col))
-                    for col in zip(*pending))
+                    shard_stacked(mesh, arr) if arr.ndim > 1
+                    else jnp.asarray(arr)
+                    for arr in (np.stack(col) for col in zip(*pending)))
                 pending = []
                 state, metrics = multi_step(state, stacked, root_key,
                                             *bn_extra)
                 n_step += scan_steps
             else:
-                pts = shard_batch(mesh, jnp.asarray(pts))
-                label = shard_batch(mesh, jnp.asarray(label))
-                state, metrics = train_step(state, pts, label, root_key,
-                                            *bn_extra)
+                if quantize_h2d is not None:
+                    q, s = quantize_h2d(pts)
+                    state, metrics = train_step(
+                        state, shard_batch(mesh, q),
+                        shard_batch(mesh, np.asarray(label)),
+                        jnp.float32(s), root_key, *bn_extra)
+                else:
+                    state, metrics = train_step(
+                        state, shard_batch(mesh, np.asarray(pts)),
+                        shard_batch(mesh, np.asarray(label)), root_key,
+                        *bn_extra)
                 n_step += 1
             if GUARD.check(n_step):
                 # graceful preemption: durable mid-epoch ckpt-last with the
@@ -205,10 +239,18 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 break
         # flush the sub-scan remainder so no batch is dropped and the
         # step-based LR schedule stays aligned with the epoch loop
-        for pts, label in pending:
-            state, metrics = train_step(
-                state, shard_batch(mesh, jnp.asarray(pts)),
-                shard_batch(mesh, jnp.asarray(label)), root_key, *bn_extra)
+        for item in pending:
+            if quantize_h2d is not None:
+                q, label, s = item
+                state, metrics = train_step(
+                    state, shard_batch(mesh, q), shard_batch(mesh, label),
+                    jnp.float32(s), root_key, *bn_extra)
+            else:
+                pts, label = item
+                state, metrics = train_step(
+                    state, shard_batch(mesh, jnp.asarray(pts)),
+                    shard_batch(mesh, jnp.asarray(label)), root_key,
+                    *bn_extra)
             n_step += 1
             metric_pending.append((metrics["loss"], metrics["acc"], 1))
         pending = []

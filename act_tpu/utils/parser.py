@@ -49,11 +49,13 @@ def get_args(argv=None):
     parser.add_argument("--scan_steps", type=int, default=1,
                         help="train K steps per host dispatch (lax.scan)")
     parser.add_argument("--h2d_dtype", choices=["f32", "i16"], default="f32",
-                        help="pretrain batch transfer dtype. i16 ships "
-                        "unit-sphere clouds quantized to int16 (half the "
-                        "host->device bytes, dequantized on device; error "
-                        "<= 3.1e-5) — for bandwidth-starved links where the "
-                        "H2D transfer bounds sustained throughput")
+                        help="train-batch transfer dtype (pretrain + "
+                        "finetune). i16 ships clouds quantized to int16 "
+                        "(half the host->device bytes, dequantized on "
+                        "device; error <= max|x|/32767 via a per-batch "
+                        "scale, 3.1e-5 for unit-sphere pretrain data) — for "
+                        "bandwidth-starved links where the H2D transfer "
+                        "bounds sustained throughput")
     parser.add_argument("--ckpt_every", type=int, default=1,
                         help="save ckpt-last every N epochs (default 1 = "
                         "reference parity; the final epoch always saves). On "

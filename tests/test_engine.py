@@ -335,6 +335,14 @@ class TestRunnerSmoke:
                   "--exp_name", "ci_smoke_i16", "--smoke",
                   "--scan_steps", "2", "--h2d_dtype", "i16")
 
+    def test_finetune_smoke_i16_h2d(self):
+        """--h2d_dtype i16 through the finetune runner: (pts, label, scale)
+        tuples on the scan path + the dynamic-scale single-step remainder."""
+        self._run("main.py", "--config",
+                  "cfgs/finetune_classification/full/finetune_scan_hardest.yaml",
+                  "--exp_name", "ci_smoke_i16", "--smoke", "--finetune_model",
+                  "--scan_steps", "2", "--h2d_dtype", "i16")
+
     def test_pretrain_smoke_scan_dispatch(self):
         """--scan_steps under smoke: 2 steps as ONE scanned dispatch through
         the (K, B, N, 3) shard_stacked layout (scan axis replicated)."""
@@ -564,6 +572,55 @@ class TestMultiStep:
         d = jax.tree_util.tree_map(
             lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params)
         assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+    def test_i16_dynamic_scale_finetune(self):
+        """Finetune i16 H2D: raw-coordinate (non-unit-sphere) clouds survive
+        the dynamic-scale int16 roundtrip within max|x|/32767, and the
+        wrapped (pts, label, scale) scan dispatch trains within tolerance
+        of the f32 path."""
+        from act_tpu.engine import h2d
+        from act_tpu.engine.train_state import (TrainState, make_finetune_step,
+                                                make_multi_step)
+        from act_tpu.models import MODELS
+        from act_tpu.utils.config import ConfigDict
+        from functools import partial
+        import optax
+
+        rng = np.random.default_rng(11)
+        # ScanObjectNN-style raw coordinates, |x| up to ~7
+        raw = (rng.normal(size=(2, 4, 128, 3)) * 2.3).astype(np.float32)
+        qs = [h2d.quantize_i16(raw[k]) for k in range(2)]
+        for k, (q, s) in enumerate(qs):
+            deq = np.asarray(h2d.dequantize_i16(jnp.asarray(q), s))
+            assert np.abs(deq - raw[k]).max() <= float(s) / 32767.0 + 1e-6
+
+        cfg = ConfigDict(dict(
+            NAME="PointTransformer", embed_dim=32, depth=2, drop_path_rate=0.0,
+            cls_dim=6, num_heads=4, group_size=8, num_group=16,
+            encoder_dims=32, transfer_type="full", scan=False))
+        model = MODELS.build(cfg)
+        key = jax.random.PRNGKey(3)
+        pts = jnp.asarray(raw)
+        labels = jnp.asarray(rng.integers(0, 6, size=(2, 4)), jnp.int32)
+        variables = model.init(dict(params=key, dropout=key, droppath=key),
+                               pts[0])
+        base = make_finetune_step(model)
+        tx = optax.adamw(1e-3)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step_i16(state, q, label, scale, k, *extra):
+            return base(state, h2d.dequantize_i16(q, scale), label, k, *extra)
+
+        s1 = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        _, m_f32 = make_multi_step(base, 2)(s1, (pts, labels), key)
+
+        qstack = jnp.asarray(np.stack([q for q, _ in qs]))
+        sstack = jnp.asarray(np.stack([s for _, s in qs]))
+        s2 = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        _, m_i16 = make_multi_step(step_i16, 2)(
+            s2, (qstack, labels, sstack), key)
+        np.testing.assert_allclose(float(m_i16["loss"]), float(m_f32["loss"]),
+                                   atol=5e-3, rtol=5e-3)
 
     def test_scanned_autoencoder_custom_call(self):
         """The dVAE step's annealed temp/kld scalars sit AFTER the key — the
